@@ -1,0 +1,255 @@
+"""Training loop for the denoising autoencoder.
+
+Replaces Keras ``autoencoder.fit(x=noisy, y=pipeline_labels, epochs,
+batch_size=128, shuffle=True, validation_data=...)``
+(VAE/hyperparam_scan.py:177-184) with a jitted Optax/Flax step:
+
+* Adam with Keras defaults (lr=1e-3, beta=(0.9, 0.999), eps=1e-7);
+* sigmoid-BCE from logits (same optimum as Keras binary_crossentropy on
+  sigmoid outputs, numerically stable);
+* per-epoch shuffle (jax PRNG) and per-epoch validation pass, recorded as a
+  Keras-style ``history`` dict — `history['val_loss']` drives model
+  selection exactly as in manual_scan.py:216-224;
+* optional orbax checkpointing per epoch + JSONL metrics (SURVEY.md section 5:
+  the reference checkpoints only once, at the end, with no optimizer state —
+  we checkpoint model+optimizer every epoch and can resume);
+* the final partial batch is padded and masked (static shapes under jit),
+  matching Keras's keep-remainder behaviour.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from specenh.config import ModelConfig, TrainConfig
+from specenh.models.autoencoder import ConvAutoencoder, make_model
+
+__all__ = [
+    "TrainState",
+    "create_state",
+    "bce_from_logits",
+    "train_step",
+    "eval_loss",
+    "fit",
+    "predict",
+]
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_state(
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+    rng: Optional[jax.Array] = None,
+) -> TrainState:
+    model = make_model(model_cfg)
+    rng = jax.random.PRNGKey(train_cfg.seed) if rng is None else rng
+    params = model.init(rng, jnp.zeros((1, *model_cfg.input_shape), jnp.float32))
+    tx = optax.adam(
+        train_cfg.learning_rate,
+        b1=train_cfg.beta1,
+        b2=train_cfg.beta2,
+        eps=train_cfg.adam_eps,
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def bce_from_logits(logits: jax.Array, targets: jax.Array, mask=None) -> jax.Array:
+    """Mean binary cross-entropy, computed from logits (stable)."""
+    per = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if mask is None:
+        return jnp.mean(per)
+    w = mask.reshape((-1,) + (1,) * (per.ndim - 1)).astype(per.dtype)
+    return jnp.sum(per * w) / (jnp.sum(w) * np.prod(per.shape[1:]))
+
+
+@jax.jit
+def train_step(state: TrainState, x: jax.Array, y: jax.Array, mask: jax.Array):
+    def loss_fn(params):
+        logits = state.apply_fn(params, x, logits=True)
+        return bce_from_logits(logits, y, mask)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads=grads), loss
+
+
+@jax.jit
+def eval_loss(state: TrainState, x: jax.Array, y: jax.Array, mask: jax.Array):
+    logits = state.apply_fn(state.params, x, logits=True)
+    return bce_from_logits(logits, y, mask)
+
+
+def _batches(n: int, bs: int, perm: np.ndarray):
+    """Yield (index-array, mask) pairs of static size bs (last one padded)."""
+    for i in range(0, n, bs):
+        idx = perm[i : i + bs]
+        m = np.ones(len(idx), np.float32)
+        if len(idx) < bs:
+            pad = bs - len(idx)
+            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+            m = np.concatenate([m, np.zeros(pad, np.float32)])
+        yield idx, m
+
+
+def fit(
+    state: TrainState,
+    x_train: jax.Array,
+    y_train: jax.Array,
+    x_val: Optional[jax.Array] = None,
+    y_val: Optional[jax.Array] = None,
+    cfg: TrainConfig = TrainConfig(),
+    epochs: Optional[int] = None,
+    metrics_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    verbose: bool = False,
+) -> tuple[TrainState, Dict[str, list]]:
+    """Keras-fit equivalent.  Returns (final_state, history) with history
+    keys 'loss' and 'val_loss' (per-epoch means, as Keras reports)."""
+    epochs = cfg.epochs if epochs is None else epochs
+    n = x_train.shape[0]
+    bs = min(cfg.batch_size, n)
+    x_train = jnp.asarray(x_train, jnp.float32)
+    y_train = jnp.asarray(y_train, jnp.float32)
+    rng = np.random.default_rng(cfg.seed)
+    history: Dict[str, list] = {"loss": [], "val_loss": []}
+    writer = open(metrics_path, "a") if metrics_path else None
+    ckptr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        perm = rng.permutation(n) if cfg.shuffle else np.arange(n)
+        losses, weights = [], []
+        for idx, m in _batches(n, bs, perm):
+            xb = x_train[jnp.asarray(idx)]
+            yb = y_train[jnp.asarray(idx)]
+            state, loss = train_step(state, xb, yb, jnp.asarray(m))
+            losses.append(loss)
+            weights.append(m.sum())
+        losses = np.asarray(jax.device_get(losses))
+        weights = np.asarray(weights)
+        epoch_loss = float((losses * weights).sum() / weights.sum())
+        history["loss"].append(epoch_loss)
+
+        val = None
+        if x_val is not None and len(x_val):
+            val = evaluate(state, x_val, y_val, bs)
+            history["val_loss"].append(val)
+        dt = time.perf_counter() - t0
+        if verbose:
+            msg = f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.5f}"
+            if val is not None:
+                msg += f" val_loss={val:.5f}"
+            print(msg + f" ({dt:.2f}s)")
+        if writer:
+            writer.write(
+                json.dumps(
+                    {
+                        "epoch": epoch,
+                        "loss": epoch_loss,
+                        "val_loss": val,
+                        "sec": dt,
+                    }
+                )
+                + "\n"
+            )
+            writer.flush()
+        if ckptr:
+            ckptr.save(
+                os.path.join(checkpoint_dir, f"epoch_{epoch:04d}"),
+                {"params": state.params, "opt_state": state.opt_state},
+                force=True,
+            )
+    if writer:
+        writer.close()
+    if ckptr:
+        ckptr.wait_until_finished()
+    return state, history
+
+
+def evaluate(state: TrainState, x: jax.Array, y: jax.Array, bs: int = 128) -> float:
+    n = x.shape[0]
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    losses, weights = [], []
+    for idx, m in _batches(n, bs, np.arange(n)):
+        losses.append(eval_loss(state, x[jnp.asarray(idx)], y[jnp.asarray(idx)], jnp.asarray(m)))
+        weights.append(m.sum())
+    losses = np.asarray(jax.device_get(losses))
+    weights = np.asarray(weights)
+    return float((losses * weights).sum() / weights.sum())
+
+
+@partial(jax.jit, static_argnames=())
+def _predict_jit(state: TrainState, x: jax.Array) -> jax.Array:
+    return state.apply_fn(state.params, x)
+
+
+def predict(state: TrainState, x: jax.Array, bs: int = 512) -> jax.Array:
+    """Keras ``model.predict`` equivalent: sigmoid probabilities, batched."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if n <= bs:
+        return _predict_jit(state, x)
+    outs = []
+    for i in range(0, n - bs + 1, bs):
+        outs.append(_predict_jit(state, jax.lax.dynamic_slice_in_dim(x, i, bs)))
+    rem = n % bs
+    if rem:
+        pad = jnp.concatenate([x[n - rem :], jnp.zeros((bs - rem, *x.shape[1:]), x.dtype)])
+        outs.append(_predict_jit(state, pad)[:rem])
+    return jnp.concatenate(outs, axis=0)
+
+
+def save_model(state: TrainState, path: str, model_cfg: ModelConfig):
+    """Persist params + config (orbax), layout mirroring the reference's
+    directory-per-variant convention (hyperparam_scan.py:191)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {"params": state.params}, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "model_config.json"), "w") as fh:
+        json.dump(
+            {
+                "filters": list(model_cfg.filters),
+                "kernels": [list(k) for k in model_cfg.kernels],
+                "out_kernel": list(model_cfg.out_kernel),
+                "input_shape": list(model_cfg.input_shape),
+            },
+            fh,
+        )
+
+
+def load_model(path: str, train_cfg: TrainConfig = TrainConfig()):
+    """Counterpart of Keras ``load_model`` (hyperparam_scan.py:27)."""
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "model_config.json")) as fh:
+        d = json.load(fh)
+    model_cfg = ModelConfig(
+        filters=tuple(d["filters"]),
+        kernels=tuple(tuple(k) for k in d["kernels"]),
+        out_kernel=tuple(d["out_kernel"]),
+        input_shape=tuple(d["input_shape"]),
+    )
+    state = create_state(model_cfg, train_cfg)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), {"params": state.params})
+    return state.replace(params=restored["params"]), model_cfg

@@ -1,0 +1,67 @@
+"""Test harness configuration.
+
+Runs the whole suite on CPU with 8 virtual devices — the standard JAX
+fake-multi-device harness (SURVEY.md section 4) — so sharding/collective
+tests exercise real SPMD partitioning without TPU hardware, and golden
+comparisons vs SciPy/OpenCV are deterministic.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from specenh.config import SpecParams  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spec_params():
+    return SpecParams()
+
+
+@pytest.fixture(scope="session")
+def small_spec_params():
+    """Reduced workload for CPU-speed tests: 0.2 s shot -> 256 x 389 spec."""
+    return SpecParams(cut_shot=0.2)
+
+
+def synth_trace(sp: SpecParams, seed: int = 0, n_channels: int | None = None):
+    """Synthetic ECE-like trace(s): chirp + fixed tone + noise.  A known
+    spectral line that must survive enhancement (SURVEY.md section 4)."""
+    rng = np.random.default_rng(seed)
+    n = sp.n_samples
+    t = np.arange(n) / sp.fs
+    def one(k):
+        return (
+            np.sin(2 * np.pi * (5e4 + 2e4 * t) * t + k)
+            + 0.3 * np.sin(2 * np.pi * 1.2e5 * t)
+            + 0.5 * rng.standard_normal(n)
+        )
+    if n_channels is None:
+        return one(0).astype(np.float32)
+    return np.stack([one(k) for k in range(n_channels)]).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def trace(spec_params):
+    return synth_trace(spec_params)
+
+
+@pytest.fixture(scope="session")
+def small_trace(small_spec_params):
+    return synth_trace(small_spec_params)
+
+
+@pytest.fixture(scope="session")
+def small_spec(small_spec_params, small_trace):
+    from specenh.bench.reference_cpu import spectrogram_ref
+
+    s, f, t = spectrogram_ref(small_trace, small_spec_params)
+    return s
