@@ -1,0 +1,93 @@
+"""Benchmark harness: the fused raw-shot -> enhanced-spectrograms service.
+
+This is the production inference path (BASELINE.json headline config): a
+multi-channel raw digitizer shot goes through STFT -> tiling -> conv-AE
+denoise -> restitch, all inside ONE jit so XLA fuses the epilogues and keeps
+everything resident in HBM.  The CPU reference for the same work is SciPy's
+spectrogram + Keras predict (VAE/hyperparam_scan.py:214-244 recipe).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specenh.config import ModelConfig, PatchSpec, SpecParams
+from specenh.data.tiles import patch, unpatch
+from specenh.models.autoencoder import make_model
+from specenh.ops.stft import spectrogram
+
+__all__ = ["make_enhance_shot_fn", "time_fn", "example_shot"]
+
+
+def make_enhance_shot_fn(
+    model_cfg: ModelConfig = ModelConfig(),
+    sp: SpecParams = SpecParams(),
+    ps: PatchSpec = PatchSpec(),
+) -> Callable:
+    """Returns jitted fn(params, traces) -> (specs, enhanced):
+    traces (C, n_samples) -> specs (C, 256, 3905), enhanced (C, 256, 3840)."""
+    model = make_model(model_cfg)
+
+    @jax.jit
+    def enhance_shot(params, traces):
+        specs = spectrogram(traces, sp)  # (C, F, T)
+        tiles = patch(specs, ps)[..., None]  # (C*30, F, w, 1)
+        pred = model.apply(params, tiles)  # sigmoid probabilities
+        return specs, unpatch(jnp.squeeze(pred, -1), ps)
+
+    return enhance_shot
+
+
+def example_shot(
+    sp: SpecParams = SpecParams(), n_channels: int = 20, seed: int = 0
+) -> np.ndarray:
+    """Synthetic 20-channel ECE-like shot (chirp + tone + noise)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(sp.n_samples) / sp.fs
+    out = np.stack(
+        [
+            np.sin(2 * np.pi * (5e4 + 2e4 * t) * t + k)
+            + 0.3 * np.sin(2 * np.pi * 1.2e5 * t)
+            + 0.5 * rng.standard_normal(t.size)
+            for k in range(n_channels)
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def _sync(out):
+    """Force execution to finish.  NOTE: under the tunnelled 'axon' platform
+    ``jax.block_until_ready`` returns before the device is done; pulling a
+    tiny slice to host is the reliable sync."""
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(leaf.ravel()[:1])
+
+
+def time_fn(fn, *args, iters: int = 32, warmup: int = 2) -> float:
+    """Per-call wall-clock seconds, measured by the SLOPE between 1 and
+    ``iters`` chained dispatches (single sync each) — this cancels the
+    host<->device round-trip latency, which on a tunnelled TPU (~50 ms RTT)
+    would otherwise dominate millisecond-scale kernels."""
+    for _ in range(warmup):
+        _sync(fn(*args))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    best = []
+    for _ in range(3):
+        t1 = run(1)
+        tk = run(iters + 1)
+        best.append((tk - t1) / iters)
+    return float(np.median(best))

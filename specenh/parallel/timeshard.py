@@ -1,0 +1,281 @@
+"""Sequence (time-axis) parallelism with halo exchange — the long-shot
+mechanism.
+
+The reference's "long sequence" story is truncate-to-2-seconds
+(``cut_shot``, spec_denoising/pipeline_data.py:31) and local 128-column
+tiles; nothing in the STFT, classical pipeline or conv-AE carries long-range
+time state (SURVEY.md section 5).  So the TPU-native way to scale shot
+length is to shard the TIME axis across devices and exchange only the small
+halos each op needs:
+
+* STFT: ``nperseg - hop`` raw samples from the right neighbour;
+* 31-tap Gaussian blur: 15 spectrogram columns per side;
+* 4x4 / 3x1 morphology: <=2 columns per side;
+* global reductions (min/max rescale, per-row time means, quantiles over the
+  unsharded freq axis) become ``pmin``/``pmax``/``psum`` over the mesh axis.
+
+Everything lives in ONE ``shard_map`` so XLA overlaps the ``ppermute``
+halo traffic (ICI neighbours) with local compute.
+
+Frame bookkeeping: with T_local = k * hop samples per device, each device
+owns k frames; the global frame count is (T - nperseg)/hop + 1 = n*k - 1,
+so the LAST device's final frame has no data.  Rather than masking it
+through every downstream global reduction, it is replaced by a copy of the
+previous frame — harmless to min/max (duplicate values), and it lives in the
+trailing columns the reference's ``patch`` drops anyway (SURVEY.md #17).
+Callers wanting the exact frame set slice ``[..., :-1]``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from specenh.config import PipelineConfig, SpecParams
+from specenh.ops.enhance import opencv_gauss_kernel_q88
+from specenh.ops.stft import stft_basis
+
+__all__ = ["sharded_spectrogram", "sharded_enhance", "usable_samples"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def usable_samples(n_samples: int, n_dev: int, sp: SpecParams) -> int:
+    """Largest T <= n_samples with T divisible by n_dev * hop (equal shards,
+    each a whole number of frames)."""
+    q = n_dev * sp.hop
+    return (n_samples // q) * q
+
+
+# ---------------------------------------------------------------------------
+# halo exchange helpers (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _recv_right(x, cols, axis_name):
+    """Each device receives the FIRST ``cols`` columns (last axis) of its
+    right neighbour; the last device receives zeros."""
+    n = lax.psum(1, axis_name)
+    perm = [(d + 1, d) for d in range(n - 1)]
+    return lax.ppermute(x[..., :cols], axis_name, perm)
+
+
+def _recv_left(x, cols, axis_name):
+    """Each device receives the LAST ``cols`` columns of its left neighbour;
+    device 0 receives zeros."""
+    n = lax.psum(1, axis_name)
+    perm = [(d, d + 1) for d in range(n - 1)]
+    return lax.ppermute(x[..., -cols:], axis_name, perm)
+
+
+def _extend_time(x, left, right, axis_name, edge: str):
+    """Extend the local time axis with neighbour halos; at the GLOBAL edges
+    use ``edge``: 'reflect101' (blur) or a constant value string ('0'/'255',
+    morphology's ignore-border padding)."""
+    n = lax.psum(1, axis_name)
+    i = lax.axis_index(axis_name)
+    parts = []
+    if left > 0:
+        halo_l = _recv_left(x, left, axis_name)
+        if edge == "reflect101":
+            edge_l = jnp.flip(x[..., 1 : left + 1], -1)
+        else:
+            edge_l = jnp.full_like(halo_l, float(edge))
+        parts.append(jnp.where(i == 0, edge_l, halo_l))
+    parts.append(x)
+    if right > 0:
+        halo_r = _recv_right(x, right, axis_name)
+        if edge == "reflect101":
+            edge_r = jnp.flip(x[..., -right - 1 : -1], -1)
+        else:
+            edge_r = jnp.full_like(halo_r, float(edge))
+        parts.append(jnp.where(i == n - 1, edge_r, halo_r))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _gmin(x, axis_name):
+    return lax.pmin(jnp.min(x, axis=(-2, -1), keepdims=True), axis_name)
+
+
+def _gmax(x, axis_name):
+    return lax.pmax(jnp.max(x, axis=(-2, -1), keepdims=True), axis_name)
+
+
+def _grescale(x, axis_name):
+    mn, mx = _gmin(x, axis_name), _gmax(x, axis_name)
+    return (x - mn) / (mx - mn)
+
+
+def _gto_u8(x, axis_name):
+    return jnp.floor(_grescale(x, axis_name) * jnp.float32(255.0))
+
+
+# ---------------------------------------------------------------------------
+# sharded STFT
+# ---------------------------------------------------------------------------
+
+
+def _local_frames(x_ext, k, nperseg, hop):
+    """k frames from a local chunk extended with (nperseg - hop) right-halo
+    samples, via shifted reshapes (same trick as ops.stft.frame_signal)."""
+    r = nperseg // hop
+    n_half = k - 1 + r
+    blocks = x_ext[..., : n_half * hop].reshape(*x_ext.shape[:-1], n_half, hop)
+    parts = [blocks[..., i : i + k, :] for i in range(r)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def sharded_spectrogram(
+    x: jax.Array, sp: SpecParams, mesh: Mesh, axis: str = "time"
+) -> jax.Array:
+    """Reference-style normalised log spectrogram with the raw-trace time
+    axis sharded over ``mesh``'s ``axis``.
+
+    ``x``: (..., T) with T divisible by mesh_size * hop (see
+    ``usable_samples``; callers trim).  Returns (..., n_freqs_kept, T/hop),
+    sharded over the time axis, with the final (dataless) frame duplicated
+    from its neighbour (see module docstring).
+
+    Requires nperseg % hop == 0 (true for the reference's 50% overlap).
+    """
+    if sp.nperseg % sp.hop != 0:
+        raise ValueError("sharded STFT requires nperseg % hop == 0")
+    n_dev = mesh.shape[axis]
+    t_total = x.shape[-1]
+    if t_total % (n_dev * sp.hop) != 0:
+        raise ValueError(
+            f"T={t_total} not divisible by n_dev*hop={n_dev * sp.hop}; "
+            "trim with usable_samples()"
+        )
+    k = t_total // (n_dev * sp.hop)
+    b_real, b_imag, weights = stft_basis(sp)
+    halo = sp.nperseg - sp.hop
+
+    def fn(xl):
+        n = lax.psum(1, axis)
+        i = lax.axis_index(axis)
+        x_ext = jnp.concatenate([xl, _recv_right(xl, halo, axis)], axis=-1)
+        frames = _local_frames(x_ext, k, sp.nperseg, sp.hop)
+        zr = jnp.matmul(frames, b_real, precision=_HI)
+        zi = jnp.matmul(frames, b_imag, precision=_HI)
+        psd = (zr * zr + zi * zi) * weights  # (..., k, F)
+        # last device's final frame has no data: copy the previous frame
+        is_last = i == n - 1
+        fixed_tail = jnp.where(is_last, psd[..., k - 2, :], psd[..., k - 1, :])
+        psd = jnp.concatenate([psd[..., : k - 1, :], fixed_tail[..., None, :]], axis=-2)
+        sxx = jnp.log(psd + jnp.asarray(sp.eps, psd.dtype))
+        sxx = jnp.swapaxes(sxx, -1, -2)  # (..., F, k)
+        sxx = _grescale(sxx, axis)
+        return sxx[..., : sp.n_freqs_kept, :]
+
+    spec_in = P(*([None] * (x.ndim - 1) + [axis]))
+    spec_out = P(*([None] * (x.ndim - 1) + [None, axis]))
+    return jax.jit(
+        shard_map(fn, mesh=mesh, in_specs=(spec_in,), out_specs=spec_out)
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# sharded classical pipeline
+# ---------------------------------------------------------------------------
+
+
+def _sharded_gauss_u8(u8, kt, kf, axis_name):
+    """Bit-exact OpenCV Q8.8 Gaussian on a time-sharded uint8-valued image."""
+    rt, rf = len(kt) // 2, len(kf) // 2
+    t_len = u8.shape[-1]
+    ext = _extend_time(u8, rt, rt, axis_name, "reflect101")
+    acc = None
+    for idx, c in enumerate(kt):
+        s = ext[..., idx : idx + t_len] * jnp.float32(c)
+        acc = s if acc is None else acc + s
+    # freq axis is unsharded: reflect-101 pad locally
+    pads = [(0, 0)] * (acc.ndim - 2) + [(rf, rf), (0, 0)]
+    accp = jnp.pad(acc, pads, mode="reflect")
+    f_len = u8.shape[-2]
+    out = None
+    for j, c in enumerate(kf):
+        s = accp[..., j : j + f_len, :] * jnp.float32(c)
+        out = s if out is None else out + s
+    res = jnp.floor((out + jnp.float32(32768.0)) * jnp.float32(1.0 / 65536.0))
+    return jnp.clip(res, 0.0, 255.0)
+
+
+def _sharded_minmax_window(x, se, is_max, axis_name):
+    """OpenCV rect-SE dilate/erode on a time-sharded image (same offsets as
+    ops.enhance._morph_window: [-d//2, d-1-d//2] per axis)."""
+    w, h = se
+    lo_t, hi_t = w // 2, w - 1 - w // 2
+    lo_f, hi_f = h // 2, h - 1 - h // 2
+    pad_val = "0" if is_max else "255"
+    ext = _extend_time(x, lo_t, hi_t, axis_name, pad_val)
+    nb = x.ndim - 2
+    window = (1,) * nb + (h, w)
+    strides = (1,) * x.ndim
+    padding = [(0, 0)] * nb + [(lo_f, hi_f), (0, 0)]
+    if is_max:
+        return lax.reduce_window(ext, -jnp.inf, lax.max, window, strides, padding)
+    return lax.reduce_window(ext, jnp.inf, lax.min, window, strides, padding)
+
+
+def _sharded_meansub(x, axis_name):
+    """|x - global per-freq-row time mean|, globally rescaled."""
+    local_sum = jnp.sum(x, axis=-1, keepdims=True)
+    local_cnt = jnp.full_like(local_sum, x.shape[-1])
+    mean = lax.psum(local_sum, axis_name) / lax.psum(local_cnt, axis_name)
+    return _grescale(jnp.abs(x - mean), axis_name)
+
+
+def sharded_enhance(
+    spec: jax.Array,
+    mesh: Mesh,
+    cfg: PipelineConfig = PipelineConfig(),
+    axis: str = "time",
+) -> jax.Array:
+    """The 5-stage classical pipeline on a time-sharded spectrogram.
+
+    Semantics match ops.enhance.classical_pipeline exactly (same fixed-point
+    blur, same morphology offsets, same global normalisations — now computed
+    with pmin/pmax/psum collectives).  ``spec``: (..., F, T_shard * n)."""
+    n_dev = mesh.shape[axis]
+    local_w = spec.shape[-1] // n_dev
+    min_w = max(cfg.gauss_ksize[0] // 2, cfg.close_se[0], cfg.open_se[0]) + 1
+    if local_w < min_w:
+        raise ValueError(
+            f"time shard width {local_w} < max halo {min_w}; use fewer "
+            "devices or a longer shot"
+        )
+
+    def fn(s):
+        # quantfilt: freq axis unsharded -> purely local
+        q = jnp.quantile(s, cfg.quant_threshold, axis=-2, keepdims=True, method="linear")
+        x = jnp.where(s < q, jnp.zeros((), s.dtype), s)
+        # gaussblr
+        kt = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[0]))
+        kf = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[1]))
+        x = _gto_u8(x, axis)
+        x = _sharded_gauss_u8(x, kt, kf, axis)
+        x = _grescale(x, axis)
+        # meansub
+        x = _sharded_meansub(x, axis)
+        # morph: CLOSE(close_se) then OPEN(open_se) on uint8
+        x = _gto_u8(x, axis)
+        x = _sharded_minmax_window(x, cfg.close_se, True, axis)
+        x = _sharded_minmax_window(x, cfg.close_se, False, axis)
+        x = _sharded_minmax_window(x, cfg.open_se, False, axis)
+        x = _sharded_minmax_window(x, cfg.open_se, True, axis)
+        x = _grescale(x, axis)
+        # final meansub
+        return _sharded_meansub(x, axis)
+
+    spec_last = P(*([None] * (spec.ndim - 1) + [axis]))
+    return jax.jit(
+        shard_map(fn, mesh=mesh, in_specs=(spec_last,), out_specs=spec_last)
+    )(spec)

@@ -8,12 +8,17 @@ comparisons vs SciPy/OpenCV are deterministic.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the JAX_PLATFORMS env var is IGNORED by this machine's 'axon' TPU
+# plugin — jax.config.update('jax_platforms', ...) is the reliable override.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

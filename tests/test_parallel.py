@@ -1,0 +1,102 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py):
+data-parallel training equivalence and halo-exchange time sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from specenh.config import ModelConfig, PipelineConfig, SpecParams, TrainConfig
+from specenh.ops.enhance import classical_pipeline
+from specenh.ops.stft import spectrogram
+from specenh.parallel.data_parallel import dp_fit, make_dp_train_step, shard_batch
+from specenh.parallel.mesh import make_mesh
+from specenh.parallel.timeshard import (
+    sharded_enhance,
+    sharded_spectrogram,
+    usable_samples,
+)
+from specenh.train import create_state, train_step
+from specenh.utils.metrics import ssim
+from tests.conftest import synth_trace
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+TINY = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(64, 32, 1))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8, ("data",))
+
+
+@pytest.fixture(scope="module")
+def tmesh8():
+    return make_mesh(8, ("time",))
+
+
+def test_dp_step_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 64, 32, 1)).astype(np.float32)
+    y = rng.random((16, 64, 32, 1)).astype(np.float32)
+    m = np.ones(16, np.float32)
+
+    s1 = create_state(TINY, TrainConfig(seed=1))
+    s1, loss1 = train_step(s1, jnp.asarray(x), jnp.asarray(y), jnp.asarray(m))
+
+    s2 = create_state(TINY, TrainConfig(seed=1))
+    step = make_dp_train_step(mesh8)
+    xb, yb, mb = shard_batch(mesh8, jnp.asarray(x), jnp.asarray(y), jnp.asarray(m))
+    s2, loss2 = step(s2, xb, yb, mb)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_fit_loss_decreases(mesh8):
+    rng = np.random.default_rng(1)
+    x = rng.random((40, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    state = create_state(TINY, TrainConfig(seed=0))
+    state, hist = dp_fit(state, x, y, mesh8, epochs=3, batch_size=16)
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_sharded_spectrogram_matches_unsharded(tmesh8):
+    sp = SpecParams(cut_shot=0.2)
+    x = synth_trace(sp, seed=5)
+    t_use = usable_samples(sp.n_samples, 8, sp)
+    xt = jnp.asarray(x[:t_use])
+    got = np.asarray(sharded_spectrogram(xt, sp, tmesh8))
+    want = np.asarray(spectrogram(xt, SpecParams(cut_shot=t_use / sp.fs)))
+    nf = want.shape[-1]
+    assert got.shape[-1] == nf + 1  # duplicated final frame
+    np.testing.assert_allclose(got[..., :nf], want, atol=5e-5)
+    np.testing.assert_allclose(got[..., -1], got[..., -2], atol=0)
+
+
+def test_sharded_enhance_bitexact(tmesh8):
+    sp = SpecParams(cut_shot=0.2)
+    x = synth_trace(sp, seed=6)
+    t_use = usable_samples(sp.n_samples, 8, sp)
+    spec = sharded_spectrogram(jnp.asarray(x[:t_use]), sp, tmesh8)
+    want = np.asarray(classical_pipeline(jnp.asarray(spec)))
+    got = np.asarray(sharded_enhance(spec, tmesh8, PipelineConfig()))
+    # halo exchange is semantically identical to the single-device pipeline;
+    # collective reductions reorder float sums, so allow ~1 ulp of noise
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert ssim(got, want) > 0.9999
+
+
+def test_sharded_enhance_batched(tmesh8):
+    sp = SpecParams(cut_shot=0.2)
+    xs = synth_trace(sp, seed=7, n_channels=2)
+    t_use = usable_samples(sp.n_samples, 8, sp)
+    spec = sharded_spectrogram(jnp.asarray(xs[:, :t_use]), sp, tmesh8)
+    got = np.asarray(sharded_enhance(spec, tmesh8))
+    want = np.asarray(classical_pipeline(jnp.asarray(spec)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -105,7 +105,7 @@ def test_full_reference_spectrogram_parity():
     ours = np.asarray(spectrogram(jnp.asarray(x), sp))
     assert ours.shape == (256, 3905)
     np.testing.assert_allclose(ours, sxx_ref, atol=1e-4)
-    assert np.abs(ours - sxx_ref).max() < 2e-5  # typical ~7e-6
+    assert np.abs(ours - sxx_ref).max() < 5e-5  # ~7e-6 TPU, ~2.4e-5 CPU
 
     np.testing.assert_allclose(spectrogram_freqs(sp), f_ref[:-1])
     np.testing.assert_allclose(spectrogram_times(sp), t_ref)
