@@ -1,0 +1,354 @@
+"""Command-line interface — the reference's ``__main__`` scripts as
+subcommands.
+
+    specenh build-data   <- python spec_denoising/pipeline_data.py
+    specenh train        <- python VAE/hyperparam_scan.py (one config)
+    specenh sweep        <- VAE/manual_scan.py / manual_scan_3layers.py /
+                            the SLURM kernel array (now vmapped on-device)
+    specenh denoise      <- denoising_by_svd.ipynb / model inference
+    specenh bench        <- the spectrograms/sec/chip harness
+    specenh movie        <- graphs.ipynb cells 18-19
+    specenh synth-shots  -- synthetic raw campaign generator (demo/testing)
+
+Artifact set matches the reference per run directory: keras-style model dir,
+ex_specs.png, val_loss.png/.txt, val_losses.npy, loss_comparisons.npz,
+plot_chn_<i>.png, t_pred.txt (SURVEY.md section 2 #27-29).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+from specenh.config import MODEL_PRESETS, Config, SpecParams, SweepConfig, TrainConfig
+
+
+def _cfg_from_args(args) -> Config:
+    cfg = Config()
+    if getattr(args, "cut_shot", None):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, spec=dataclasses.replace(cfg.spec, cut_shot=args.cut_shot))
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_build_data(args):
+    from specenh.pipeline import build_dataset
+
+    cfg = _cfg_from_args(args)
+    files = None
+    if args.data_dir:
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(args.data_dir, "*.pkl")))
+    summary = build_dataset(
+        cfg,
+        shot_files=files,
+        channels=list(range(1, args.channels + 1)),
+        store_path=args.out,
+        verbose=not args.quiet,
+    )
+    print(json.dumps(summary))
+
+
+def cmd_synth_shots(args):
+    """Generate synthetic raw ECE pickle shots (chirp + tone + noise) so the
+    whole stack can run without DIII-D data access."""
+    from specenh.data.dataset import synthetic_shot_batch
+    from specenh.io.shots import ece_key
+
+    os.makedirs(args.out, exist_ok=True)
+    batch = synthetic_shot_batch(
+        n_shots=args.shots, n_channels=args.channels, n_samples=args.samples, seed=args.seed
+    )
+    for s in range(args.shots):
+        shot = 100000 + args.seed * 1000 + s
+        data = {ece_key(c + 1): batch[s, c] for c in range(args.channels)}
+        path = os.path.join(args.out, f"ece_{shot}.pkl")
+        with open(path, "wb") as fh:
+            pickle.dump(data, fh)
+        print(path)
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+
+    from specenh.config import PatchSpec
+    from specenh.data.dataset import assemble_from_store
+    from specenh.data.tiles import n_tiles_for, patch, unpatch
+    from specenh.io.store import SpectrogramStore
+    from specenh.train import create_state, fit, predict, save_model
+    from specenh.viz.plots import display, plt_spec_shot, plot_val_loss
+
+    model_cfg = MODEL_PRESETS[args.model]
+    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    store = SpectrogramStore(args.dataset, "r")
+    splits = assemble_from_store(
+        store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
+    ).reshaped()
+
+    k_tiles = n_tiles_for(store.read_channel(store.shots()[0], store.channels_of(store.shots()[0])[0])["spec"].shape[-1], PatchSpec())
+
+    state = create_state(model_cfg, train_cfg)
+    state, hist = fit(
+        state,
+        splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+        train_cfg,
+        metrics_path=os.path.join(args.out_dir, "metrics.jsonl"),
+        checkpoint_dir=os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None,
+        verbose=not args.quiet,
+    )
+    save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
+
+    # predictions + display artifact (hyperparam_scan.py:194-205)
+    preds = np.squeeze(np.asarray(predict(state, jnp.asarray(splits.x_test))), -1)
+    noisy = np.asarray(unpatch(jnp.asarray(np.squeeze(splits.x_test, -1)), tiles_per_spec=k_tiles))
+    final = np.asarray(unpatch(jnp.asarray(preds), tiles_per_spec=k_tiles))
+    sample_shot = store.shots()[0]
+    d = store.read_channel(sample_shot, 1)
+    display(noisy, final, os.path.join(args.out_dir, "ex_specs.png"), d["f"], d["t"], seed=0)
+    plot_val_loss(
+        hist["val_loss"],
+        os.path.join(args.out_dir, "val_loss.png"),
+        os.path.join(args.out_dir, "val_loss.txt"),
+    )
+
+    # timed per-channel inference on a reference shot (hyperparam_scan.py:214-244)
+    import jax
+
+    shot_key = f"ece_{args.bench_shot}" if f"ece_{args.bench_shot}" in store.shots() else sample_shot
+    t_predict = 0.0
+    chns = store.channels_of(shot_key)
+    for i in chns:
+        d = store.read_channel(shot_key, i)
+        tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
+        start = time.time()
+        p = predict(state, jnp.asarray(tiles))
+        np.asarray(p.ravel()[:1])  # sync (tunnelled TPU: block_until_ready lies)
+        t_predict += time.time() - start
+        if i in (10, 11, 12):
+            plt_spec_shot(
+                np.asarray(unpatch(jnp.asarray(tiles[..., 0]), tiles_per_spec=k_tiles))[0],
+                np.asarray(unpatch(jnp.squeeze(p, -1), tiles_per_spec=k_tiles))[0],
+                np.asarray(unpatch(jnp.asarray(patch(jnp.asarray(d["pipeline_out"][None]))), tiles_per_spec=k_tiles))[0],
+                shot_key, i, os.path.join(args.out_dir, f"plot_chn_{i}.png"),
+                d["f"], d["t"],
+            )
+    t_predict /= max(len(chns), 1)
+    with open(os.path.join(args.out_dir, "t_pred.txt"), "w") as fh:
+        fh.write(str(t_predict))
+        fh.write(str(len(jax.devices())))
+    store.close()
+    print(json.dumps({"val_loss": hist["val_loss"][-1], "t_pred": t_predict}))
+
+
+def cmd_sweep(args):
+    import jax.numpy as jnp
+
+    from specenh.data.dataset import assemble_from_store
+    from specenh.io.store import SpectrogramStore
+    from specenh.sweep import (
+        expand_grid_2layer,
+        expand_grid_3layer,
+        save_loss_comparisons,
+        sweep_fit,
+    )
+    from specenh.train import create_state, save_model
+    from specenh.viz.plots import plot_val_loss
+
+    sw = SweepConfig(epochs=args.epochs)
+    if args.grid == "kernel":
+        from specenh.config import ModelConfig
+
+        configs = [
+            ModelConfig(filters=(32, 32), kernels=(k, k), out_kernel=k)
+            for k in sw.kernel_vals
+        ]
+        grid_shape, names = (len(configs),), ["kernel"]
+    elif args.grid == "3layer":
+        configs, grid_shape = expand_grid_3layer(sw)
+        names = ["ker", "conv1", "conv2", "conv3"]
+    else:
+        configs, grid_shape = expand_grid_2layer(sw)
+        names = ["ker1", "ker2", "ker3", "conv1", "conv2"]
+
+    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with SpectrogramStore(args.dataset, "r") as store:
+        splits = assemble_from_store(
+            store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
+        ).reshaped()
+    res = sweep_fit(
+        configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+        train_cfg, epochs=args.epochs, verbose=not args.quiet,
+    )
+    np.save(os.path.join(args.out_dir, "val_losses.npy"), res.val_losses.reshape(grid_shape))
+    pred_times = np.zeros_like(res.val_losses)  # per-config timing: see train
+    save_loss_comparisons(
+        os.path.join(args.out_dir, "loss_comparisons.npz"),
+        res.val_losses, pred_times, grid_shape, names,
+    )
+    best_cfg = res.configs[res.best_index]
+    state = create_state(best_cfg, train_cfg).replace(params=res.best_params)
+    save_model(state, os.path.join(args.out_dir, "best_model"), best_cfg)
+    plot_val_loss(res.val_history[:, res.best_index], os.path.join(args.out_dir, "best_val_loss.png"))
+    print(json.dumps({
+        "best_index": res.best_index,
+        "best_val_loss": float(res.val_losses[res.best_index]),
+        "n_configs": len(configs),
+    }))
+
+
+def cmd_denoise(args):
+    import jax.numpy as jnp
+
+    from specenh.io.store import SpectrogramStore
+    from specenh.ops.svd import denoise_signal
+    from specenh.viz.plots import plot_svd_compare
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with SpectrogramStore(args.dataset, "r") as store:
+        shot = store.shots()[0] if args.shot is None else f"ece_{args.shot}"
+        d = store.read_channel(shot, args.channel)
+    sv = np.asarray(denoise_signal(jnp.asarray(d["spec"], jnp.float32)))
+    np.save(os.path.join(args.out_dir, "svd_denoised.npy"), sv)
+    plot_svd_compare(
+        d["spec"], d["pipeline_out"], sv, shot, args.channel,
+        os.path.join(args.out_dir, "svd_compare.png"),
+    )
+    print(json.dumps({"shot": shot, "channel": args.channel}))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def cmd_movie(args):
+    import jax.numpy as jnp
+
+    from specenh.data.tiles import patch, unpatch
+    from specenh.io.store import SpectrogramStore
+    from specenh.train import load_model, predict
+    from specenh.viz.movie import dump_frames, render_movie
+
+    with SpectrogramStore(args.dataset, "r") as store:
+        shot = store.shots()[0] if args.shot is None else f"ece_{args.shot}"
+        chns = [c for c in range(1, args.channels + 1) if store.has_channel(shot, c)]
+        specs = []
+        labels = []
+        for c in chns:
+            d = store.read_channel(shot, c)
+            specs.append(d["spec"])
+            labels.append(d["pipeline_out"])
+        f_ax, t_ax = d["f"], d["t"]
+    specs = np.stack(specs)
+    labels = np.stack(labels)
+    if args.model:
+        state, _ = load_model(args.model)
+        from specenh.config import PatchSpec
+        from specenh.data.tiles import n_tiles_for
+        tiles = np.asarray(patch(jnp.asarray(specs)))[..., None]
+        preds = np.asarray(unpatch(jnp.squeeze(predict(state, jnp.asarray(tiles)), -1),
+                                   tiles_per_spec=n_tiles_for(specs.shape[-1], PatchSpec())))
+    else:
+        preds = labels[:, :, :3840]
+    # (C, F, T) -> (F, T, C) stacks as graphs.ipynb cell 16 dstacks them
+    noisy = specs[:, :, :3840].transpose(1, 2, 0)
+    proc = labels[:, :, :3840].transpose(1, 2, 0)
+    pred = preds.transpose(1, 2, 0)
+    n = dump_frames(
+        noisy, proc, pred, t_ax, f_ax, shot.replace("ece_", ""), args.out_dir,
+        start=args.start, stop=args.stop,
+    )
+    path = render_movie(args.out_dir, shot.replace("ece_", ""), fps=args.fps)
+    print(json.dumps({"frames": n, "movie": path}))
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="specenh", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-data", help="raw shots -> spectrogram HDF5 dataset")
+    b.add_argument("--data-dir", default=None)
+    b.add_argument("--out", required=True)
+    b.add_argument("--channels", type=int, default=20)
+    b.add_argument("--cut-shot", type=float, default=None)
+    b.add_argument("--quiet", action="store_true")
+    b.set_defaults(fn=cmd_build_data)
+
+    s = sub.add_parser("synth-shots", help="generate synthetic raw shots")
+    s.add_argument("--out", required=True)
+    s.add_argument("--shots", type=int, default=3)
+    s.add_argument("--channels", type=int, default=20)
+    s.add_argument("--samples", type=int, default=1_000_000)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_synth_shots)
+
+    t = sub.add_parser("train", help="train one autoencoder config")
+    t.add_argument("--dataset", required=True)
+    t.add_argument("--out-dir", required=True)
+    t.add_argument("--model", choices=sorted(MODEL_PRESETS), default="scan_k3")
+    t.add_argument("--epochs", type=int, default=15)
+    t.add_argument("--num-shots", type=int, default=20)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--bench-shot", default="176053")
+    t.add_argument("--checkpoints", action="store_true")
+    t.add_argument("--quiet", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    w = sub.add_parser("sweep", help="vmapped hyperparameter sweep")
+    w.add_argument("--dataset", required=True)
+    w.add_argument("--out-dir", required=True)
+    w.add_argument("--grid", choices=["kernel", "2layer", "3layer"], default="kernel")
+    w.add_argument("--epochs", type=int, default=15)
+    w.add_argument("--num-shots", type=int, default=20)
+    w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--quiet", action="store_true")
+    w.set_defaults(fn=cmd_sweep)
+
+    d = sub.add_parser("denoise", help="SVD denoise one channel")
+    d.add_argument("--dataset", required=True)
+    d.add_argument("--out-dir", required=True)
+    d.add_argument("--shot", default=None)
+    d.add_argument("--channel", type=int, default=1)
+    d.set_defaults(fn=cmd_denoise)
+
+    be = sub.add_parser("bench", help="spectrograms/sec/chip benchmark")
+    be.set_defaults(fn=cmd_bench)
+
+    m = sub.add_parser("movie", help="frame dump + mp4 render")
+    m.add_argument("--dataset", required=True)
+    m.add_argument("--out-dir", required=True)
+    m.add_argument("--shot", default=None)
+    m.add_argument("--model", default=None)
+    m.add_argument("--channels", type=int, default=20)
+    m.add_argument("--start", type=int, default=0)
+    m.add_argument("--stop", type=int, default=None)
+    m.add_argument("--fps", type=int, default=30)
+    m.set_defaults(fn=cmd_movie)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

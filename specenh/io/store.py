@@ -1,0 +1,151 @@
+"""HDF5 spectrogram dataset store + resumable campaign manifest.
+
+Schema is byte-compatible with the reference's
+(spec_denoising/pipeline_data.py:90-116):
+
+    <file>.hdf5
+      ece_<shot>/chn_<n>/spec          (256, 3905) float
+      ece_<shot>/chn_<n>/f             (256,)      float
+      ece_<shot>/chn_<n>/t             (3905,)     float
+      ece_<shot>/chn_<n>/pipeline_out  (256, 3905) float
+
+Improvements over the reference (SURVEY.md section 5):
+* idempotent writes — re-running on a shot overwrites instead of crashing on
+  create_group of an existing group (the reference's append-mode quirk);
+* a JSONL manifest of completed (shot, channel) pairs => a crashed campaign
+  resumes where it stopped (elastic restart for free);
+* per-shot error quarantine lives in the campaign driver
+  (specenh.pipeline), not here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["SpectrogramStore", "CampaignManifest"]
+
+
+class SpectrogramStore:
+    """Thin h5py wrapper with the reference schema."""
+
+    def __init__(self, path: str, mode: str = "a"):
+        import h5py
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        self._f = h5py.File(path, mode)
+        self.path = path
+
+    # -- writing ------------------------------------------------------------
+
+    def write_channel(
+        self,
+        shot: str,
+        chn: int,
+        spec: np.ndarray,
+        f: np.ndarray,
+        t: np.ndarray,
+        pipeline_out: np.ndarray,
+        prefix: str = "ece",
+    ) -> None:
+        name = f"{prefix}_{shot}/chn_{chn}"
+        if name in self._f:
+            del self._f[name]  # idempotent overwrite
+        grp = self._f.create_group(name)
+        grp.create_dataset("spec", data=np.asarray(spec))
+        grp.create_dataset("f", data=np.asarray(f))
+        grp.create_dataset("t", data=np.asarray(t))
+        grp.create_dataset("pipeline_out", data=np.asarray(pipeline_out))
+
+    # -- reading (hyperparam_scan.py:130-141 access pattern) -----------------
+
+    def shots(self) -> List[str]:
+        return list(self._f.keys())
+
+    def channels_of(self, shot_group: str) -> List[int]:
+        return sorted(int(n.split("_")[1]) for n in self._f[shot_group].keys())
+
+    def has_channel(self, shot_group: str, chn: int) -> bool:
+        return f"{shot_group}/chn_{chn}" in self._f
+
+    def read_channel(self, shot_group: str, chn: int) -> Dict[str, np.ndarray]:
+        grp = self._f[f"{shot_group}/chn_{chn}"]
+        return {k: np.asarray(grp[k]) for k in ("spec", "f", "t", "pipeline_out")}
+
+    def read_spec_and_labels(
+        self, shot_group: str, channels: Sequence[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        specs, labels = [], []
+        for chn in channels:
+            grp = self._f[f"{shot_group}/chn_{chn}"]
+            specs.append(np.asarray(grp["spec"]))
+            labels.append(np.asarray(grp["pipeline_out"]))
+        return np.stack(specs), np.stack(labels)
+
+    def iter_channels(self) -> Iterator[Tuple[str, int]]:
+        for shot in self._f:
+            for chn_name in self._f[shot]:
+                yield shot, int(chn_name.split("_")[1])
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class CampaignManifest:
+    """Append-only JSONL journal of completed work units; survives crashes.
+
+    The reference has no resume story — a SLURM task that dies mid-campaign
+    leaves a half-written HDF5 and must be re-run whole (SURVEY.md section 5).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: set = set()
+        self._failed: Dict[str, str] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    key = (rec["shot"], rec.get("chn"))
+                    if rec["status"] == "done":
+                        self._done.add(key)
+                    else:
+                        self._failed[str(key)] = rec.get("error", "")
+        self._fh = open(path, "a")
+
+    def is_done(self, shot: str, chn: Optional[int] = None) -> bool:
+        return (shot, chn) in self._done
+
+    def mark_done(self, shot: str, chn: Optional[int] = None):
+        self._done.add((shot, chn))
+        self._fh.write(json.dumps({"shot": shot, "chn": chn, "status": "done"}) + "\n")
+        self._fh.flush()
+
+    def mark_failed(self, shot: str, error: str, chn: Optional[int] = None):
+        self._failed[str((shot, chn))] = error
+        self._fh.write(
+            json.dumps({"shot": shot, "chn": chn, "status": "failed", "error": error})
+            + "\n"
+        )
+        self._fh.flush()
+
+    @property
+    def failed(self) -> Dict[str, str]:
+        return dict(self._failed)
+
+    def close(self):
+        self._fh.close()

@@ -39,30 +39,41 @@ __all__ = ["ConvAutoencoder", "make_model", "param_count"]
 
 class ConvAutoencoder(nn.Module):
     cfg: ModelConfig = ModelConfig()
+    # computation dtype: params stay float32; bfloat16 here roughly doubles
+    # MXU throughput for inference at negligible quality cost (the sigmoid
+    # output is compared at ~1e-2 feature scales)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, logits: bool = False) -> jax.Array:
         cfg = self.cfg
         init = nn.initializers.glorot_uniform()
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (f, k) in enumerate(zip(cfg.filters, cfg.kernels)):
-            x = nn.Conv(f, k, padding="SAME", kernel_init=init, name=f"enc_conv{i}")(x)
+            x = nn.Conv(
+                f, k, padding="SAME", kernel_init=init, dtype=self.dtype,
+                name=f"enc_conv{i}",
+            )(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         for i in reversed(range(len(cfg.filters))):
             f, k = cfg.filters[i], cfg.kernels[i]
             x = nn.ConvTranspose(
                 f, k, strides=(2, 2), padding="SAME", kernel_init=init,
-                name=f"dec_deconv{i}",
+                dtype=self.dtype, name=f"dec_deconv{i}",
             )(x)
             x = nn.relu(x)
         x = nn.Conv(
-            1, cfg.out_kernel, padding="SAME", kernel_init=init, name="out_conv"
+            1, cfg.out_kernel, padding="SAME", kernel_init=init, dtype=self.dtype,
+            name="out_conv",
         )(x)
+        x = x.astype(jnp.float32)
         return x if logits else nn.sigmoid(x)
 
 
-def make_model(cfg: ModelConfig = ModelConfig()) -> ConvAutoencoder:
-    return ConvAutoencoder(cfg)
+def make_model(cfg: ModelConfig = ModelConfig(), dtype=None) -> ConvAutoencoder:
+    return ConvAutoencoder(cfg, dtype=dtype)
 
 
 def init_params(model: ConvAutoencoder, rng: jax.Array, input_shape: Tuple[int, ...] | None = None):

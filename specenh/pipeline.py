@@ -1,0 +1,98 @@
+"""Dataset-build campaign: raw shots -> spectrograms + pipeline labels -> HDF5.
+
+The TPU-native equivalent of ``python spec_denoising/pipeline_data.py``
+(call stack SURVEY.md 3.1): the per-channel Python loop over
+scipy/numpy/cv2 becomes ONE jitted device call per shot — all channels are
+batched through the fused STFT + classical pipeline — while pickle IO and
+HDF5 writes stay on the host.  Corrupt shots are quarantined (reference
+behaviour, pipeline_data.py:118-122, minus its unimported-``traceback``
+crash bug) and recorded in a resumable manifest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specenh.config import Config
+from specenh.io.shots import ShotReadError, read_ece_channels, shot_number_from_path
+from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.ops.enhance import classical_pipeline
+from specenh.ops.stft import spectrogram, spectrogram_freqs, spectrogram_times
+
+__all__ = ["build_dataset", "process_shot_fn"]
+
+
+def process_shot_fn(cfg: Config):
+    """Jitted (C, n_samples) traces -> (specs, labels), the device half of
+    the campaign."""
+
+    @jax.jit
+    def fn(traces):
+        specs = spectrogram(traces, cfg.spec)
+        labels = classical_pipeline(specs, cfg.pipeline)
+        return specs, labels
+
+    return fn
+
+
+def build_dataset(
+    cfg: Config,
+    shot_files: Optional[Sequence[str]] = None,
+    channels: Optional[Sequence[int]] = None,
+    store_path: Optional[str] = None,
+    manifest_path: Optional[str] = None,
+    verbose: bool = True,
+) -> dict:
+    """Run the campaign.  Returns summary counts.
+
+    Resumable: shots present in the manifest are skipped, and HDF5 writes
+    are idempotent, so a crashed run continues where it stopped.
+    """
+    shot_files = (
+        sorted(glob.glob(os.path.join(cfg.paths.data_dir, "*.pkl")))
+        if shot_files is None
+        else list(shot_files)
+    )
+    channels = list(channels) if channels is not None else list(range(1, 21))
+    store_path = store_path or cfg.paths.dataset_file
+    manifest_path = manifest_path or store_path + ".manifest.jsonl"
+
+    fn = process_shot_fn(cfg)
+    f_axis = spectrogram_freqs(cfg.spec)
+    t_axis = spectrogram_times(cfg.spec)
+    done = skipped = failed = 0
+
+    manifest = CampaignManifest(manifest_path)
+    with SpectrogramStore(store_path) as store:
+        for fname in shot_files:
+            shot = shot_number_from_path(fname)
+            if manifest.is_done(shot):
+                skipped += 1
+                continue
+            try:
+                traces = read_ece_channels(fname, channels, cfg.spec.n_samples)
+            except ShotReadError as e:
+                manifest.mark_failed(shot, str(e))
+                failed += 1
+                if verbose:
+                    print(f"quarantined {shot}: {e}")
+                continue
+            specs, labels = fn(jnp.asarray(traces))
+            specs = np.asarray(specs)
+            labels = np.asarray(labels)
+            for i, chn in enumerate(channels):
+                store.write_channel(shot, chn, specs[i], f_axis, t_axis, labels[i])
+            store.flush()
+            manifest.mark_done(shot)
+            done += 1
+            if verbose:
+                print(f"shot {shot}: {len(channels)} channels written")
+    manifest.close()
+    return {"done": done, "skipped": skipped, "failed": failed}

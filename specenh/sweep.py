@@ -1,0 +1,365 @@
+"""Hyperparameter sweeps, TPU-native.
+
+The reference runs sweeps as a SLURM job array (one process per kernel size,
+VAE/hyperparam_scan.py:122-123) or serial nested loops over
+(ker1, ker2, ker3, conv1, conv2) (VAE/manual_scan.py:183-252) /
+(ker, conv1, conv2, conv3) (VAE/manual_scan_3layers.py).
+
+Here ALL configs train SIMULTANEOUSLY in one jitted, vmapped program:
+
+* every config is embedded in the maximal architecture (largest kernel,
+  widest filters) — a conv whose kernel is zero-padded from (3,3) to (7,7)
+  computes exactly the same function, and masking the weights in the
+  FORWARD pass makes the masked taps' gradients exactly zero, so each
+  config's training trajectory is identical to training it standalone;
+* per-config parameters are initialised at their TRUE shapes (Keras
+  glorot-uniform fan-in/fan-out of the unpadded kernel) then placed into
+  the padded buffers;
+* ``jax.vmap`` over the stacked config axis turns the sweep into one big
+  batched conv program on the MXU; on a multi-chip mesh the config axis can
+  additionally be sharded over a 'sweep' axis (the SLURM-array analog, on
+  chips, with zero host orchestration).
+
+Artifacts mirror the reference: per-config ``val_losses`` tensor, best-model
+selection on final val loss (manual_scan.py:216-224), per-parameter marginal
+averages (``loss_comparisons.npz``, manual_scan.py:302-364).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from specenh.config import ModelConfig, SweepConfig, TrainConfig
+from specenh.models.autoencoder import make_model
+from specenh.train import bce_from_logits
+
+__all__ = [
+    "SweepResult",
+    "expand_grid_2layer",
+    "expand_grid_3layer",
+    "envelope_config",
+    "init_stacked_params",
+    "sweep_fit",
+    "extract_config_params",
+    "marginal_report",
+]
+
+
+# ---------------------------------------------------------------------------
+# config grids
+# ---------------------------------------------------------------------------
+
+
+def expand_grid_2layer(sw: SweepConfig) -> Tuple[List[ModelConfig], Tuple[int, ...]]:
+    """manual_scan.py grid: (ker1, ker2, ker3, conv1, conv2)."""
+    cfgs = [
+        ModelConfig(filters=(c1, c2), kernels=(k1, k2), out_kernel=k3)
+        for k1, k2, k3, c1, c2 in itertools.product(
+            sw.ker1_vals, sw.ker2_vals, sw.ker3_vals, sw.conv1_vals, sw.conv2_vals
+        )
+    ]
+    shape = (
+        len(sw.ker1_vals), len(sw.ker2_vals), len(sw.ker3_vals),
+        len(sw.conv1_vals), len(sw.conv2_vals),
+    )
+    return cfgs, shape
+
+
+def expand_grid_3layer(sw: SweepConfig) -> Tuple[List[ModelConfig], Tuple[int, ...]]:
+    """manual_scan_3layers.py grid: (ker, conv1, conv2, conv3)."""
+    kers = list(sw.kernel_vals)
+    cfgs = [
+        ModelConfig(filters=(c1, c2, c3), kernels=(k, k, k), out_kernel=k)
+        for k, c1, c2, c3 in itertools.product(
+            kers, sw.conv1_vals, sw.conv2_vals, sw.conv3_vals
+        )
+    ]
+    shape = (len(kers), len(sw.conv1_vals), len(sw.conv2_vals), len(sw.conv3_vals))
+    return cfgs, shape
+
+
+def envelope_config(configs: Sequence[ModelConfig]) -> ModelConfig:
+    """The maximal architecture containing every config in the sweep."""
+    depth = {c.depth for c in configs}
+    if len(depth) != 1:
+        raise ValueError("all sweep configs must share depth")
+    d = depth.pop()
+    filters = tuple(max(c.filters[i] for c in configs) for i in range(d))
+    kernels = tuple(
+        (
+            max(c.kernels[i][0] for c in configs),
+            max(c.kernels[i][1] for c in configs),
+        )
+        for i in range(d)
+    )
+    out_kernel = (
+        max(c.out_kernel[0] for c in configs),
+        max(c.out_kernel[1] for c in configs),
+    )
+    return ModelConfig(
+        filters=filters, kernels=kernels, out_kernel=out_kernel,
+        input_shape=configs[0].input_shape,
+    )
+
+
+# ---------------------------------------------------------------------------
+# masked parameter embedding
+# ---------------------------------------------------------------------------
+
+
+def _placed(big_shape, small, off):
+    out = np.zeros(big_shape, np.float32)
+    sl = tuple(slice(o, o + s) for o, s in zip(off, small.shape))
+    out[sl] = small
+    return out
+
+
+def _layer_names(depth: int) -> List[str]:
+    enc = [f"enc_conv{i}" for i in range(depth)]
+    dec = [f"dec_deconv{i}" for i in reversed(range(depth))]
+    return enc + dec + ["out_conv"]
+
+
+def _layer_geometry(cfg: ModelConfig):
+    """Per-layer (kernel, cin, cout) in module order (matches the
+    ConvAutoencoder definition)."""
+    geo = []
+    cin = cfg.input_shape[-1]
+    for i in range(cfg.depth):
+        geo.append((f"enc_conv{i}", cfg.kernels[i], cin, cfg.filters[i]))
+        cin = cfg.filters[i]
+    for i in reversed(range(cfg.depth)):
+        geo.append((f"dec_deconv{i}", cfg.kernels[i], cin, cfg.filters[i]))
+        cin = cfg.filters[i]
+    geo.append(("out_conv", cfg.out_kernel, cin, 1))
+    return geo
+
+
+def _glorot(rng: np.random.Generator, shape) -> np.ndarray:
+    """Keras/Flax glorot_uniform on an HWIO conv kernel: fan from the
+    receptive field x channels."""
+    kh, kw, cin, cout = shape
+    fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return rng.uniform(-limit, limit, size=shape).astype(np.float32)
+
+
+def init_stacked_params(
+    configs: Sequence[ModelConfig], env: ModelConfig, seed: int = 0
+):
+    """(stacked_params, stacked_masks): each config initialised at its true
+    geometry (correct glorot fan) and zero-embedded into the envelope."""
+    env_geo = {g[0]: (g[1], g[2], g[3]) for g in _layer_geometry(env)}
+    p_stack: Dict[str, Dict[str, List[np.ndarray]]] = {}
+    m_stack: Dict[str, Dict[str, List[np.ndarray]]] = {}
+    for ci, cfg in enumerate(configs):
+        rng = np.random.default_rng(seed * 100_003 + ci)
+        for name, k, cin, cout in _layer_geometry(cfg):
+            ek, ecin, ecout = env_geo[name]
+            big_k = (ek[0], ek[1], ecin, ecout)
+            off = ((ek[0] - k[0]) // 2, (ek[1] - k[1]) // 2, 0, 0)
+            kern = _glorot(rng, (k[0], k[1], cin, cout))
+            kernel = _placed(big_k, kern, off)
+            kmask = _placed(big_k, np.ones((k[0], k[1], cin, cout), np.float32), off)
+            bias = np.zeros(ecout, np.float32)
+            bmask = _placed((ecout,), np.ones(cout, np.float32), (0,))
+            p_stack.setdefault(name, {"kernel": [], "bias": []})
+            m_stack.setdefault(name, {"kernel": [], "bias": []})
+            p_stack[name]["kernel"].append(kernel)
+            p_stack[name]["bias"].append(bias)
+            m_stack[name]["kernel"].append(kmask)
+            m_stack[name]["bias"].append(bmask)
+    params = {
+        "params": {
+            n: {k: jnp.asarray(np.stack(v)) for k, v in d.items()}
+            for n, d in p_stack.items()
+        }
+    }
+    masks = {
+        "params": {
+            n: {k: jnp.asarray(np.stack(v)) for k, v in d.items()}
+            for n, d in m_stack.items()
+        }
+    }
+    return params, masks
+
+
+def extract_config_params(stacked, masks, idx: int, cfg: ModelConfig, env: ModelConfig):
+    """Crop config ``idx`` back out of the stacked envelope into standalone
+    params for ``make_model(cfg)`` (kernel window + channel ranges)."""
+    out = {}
+    env_geo = {g[0]: (g[1], g[2], g[3]) for g in _layer_geometry(env)}
+    for name, k, cin, cout in _layer_geometry(cfg):
+        ek, _, _ = env_geo[name]
+        oh, ow = (ek[0] - k[0]) // 2, (ek[1] - k[1]) // 2
+        kern = np.asarray(stacked["params"][name]["kernel"][idx])
+        bias = np.asarray(stacked["params"][name]["bias"][idx])
+        out[name] = {
+            "kernel": jnp.asarray(kern[oh : oh + k[0], ow : ow + k[1], :cin, :cout]),
+            "bias": jnp.asarray(bias[:cout]),
+        }
+    return {"params": out}
+
+
+# ---------------------------------------------------------------------------
+# the vmapped sweep
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SweepResult:
+    configs: List[ModelConfig]
+    env: ModelConfig
+    val_losses: np.ndarray  # (n_cfg,) final-epoch val loss
+    train_history: np.ndarray  # (epochs, n_cfg)
+    val_history: np.ndarray  # (epochs, n_cfg)
+    best_index: int
+    best_params: dict  # standalone params of the best config
+    stacked_params: dict
+    masks: dict
+
+
+def sweep_fit(
+    configs: Sequence[ModelConfig],
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_val: np.ndarray,
+    y_val: np.ndarray,
+    train_cfg: TrainConfig = TrainConfig(),
+    epochs: Optional[int] = None,
+    mesh=None,
+    sweep_axis: str = "sweep",
+    verbose: bool = False,
+) -> SweepResult:
+    """Train every config simultaneously (vmapped over the config axis).
+
+    With ``mesh`` given (axis ``sweep_axis``), the config axis is sharded
+    over devices — each chip trains its slice of the grid, no host loop.
+    """
+    epochs = train_cfg.epochs if epochs is None else epochs
+    env = envelope_config(configs)
+    model = make_model(env)
+    params, masks = init_stacked_params(configs, env, train_cfg.seed)
+    tx = optax.adam(
+        train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2,
+        eps=train_cfg.adam_eps,
+    )
+    opt_state = jax.vmap(tx.init)(params)
+
+    def one_loss(p, m, x, y, w):
+        masked = jax.tree_util.tree_map(lambda a, b: a * b, p, m)
+        logits = model.apply(masked, x, logits=True)
+        return bce_from_logits(logits, y, w)
+
+    def one_step(p, o, m, x, y, w):
+        loss, grads = jax.value_and_grad(one_loss)(p, m, x, y, w)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    v_step = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None)))
+    v_loss = jax.jit(jax.vmap(one_loss, in_axes=(0, 0, None, None, None)))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(sweep_axis))
+        params = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), params)
+        masks = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), masks)
+        opt_state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh) if getattr(a, "ndim", 0) > 0 else a,
+            opt_state,
+        )
+
+    n = x_train.shape[0]
+    bs = min(train_cfg.batch_size, n)
+    x_train = jnp.asarray(x_train, jnp.float32)
+    y_train = jnp.asarray(y_train, jnp.float32)
+    x_val = jnp.asarray(x_val, jnp.float32)
+    y_val = jnp.asarray(y_val, jnp.float32)
+    rng = np.random.default_rng(train_cfg.seed)
+
+    tr_hist, va_hist = [], []
+    for epoch in range(epochs):
+        perm = rng.permutation(n) if train_cfg.shuffle else np.arange(n)
+        losses, weights = [], []
+        for i in range(0, n, bs):
+            idx = perm[i : i + bs]
+            w = np.ones(len(idx), np.float32)
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            params, opt_state, loss = v_step(
+                params, opt_state, masks,
+                x_train[jnp.asarray(idx)], y_train[jnp.asarray(idx)], jnp.asarray(w),
+            )
+            losses.append(loss)
+            weights.append(w.sum())
+        losses = np.asarray(jax.device_get(losses))  # (n_batches, n_cfg)
+        weights = np.asarray(weights)[:, None]
+        tr_hist.append((losses * weights).sum(0) / weights.sum())
+        val = v_loss(params, masks, x_val, y_val, jnp.ones(x_val.shape[0], jnp.float32))
+        va_hist.append(np.asarray(jax.device_get(val)))
+        if verbose:
+            print(f"epoch {epoch+1}/{epochs} val={np.array2string(va_hist[-1], precision=4)}")
+
+    val_losses = va_hist[-1]
+    best = int(np.argmin(val_losses))
+    best_params = extract_config_params(
+        jax.device_get(params), masks, best, configs[best], env
+    )
+    return SweepResult(
+        configs=list(configs),
+        env=env,
+        val_losses=val_losses,
+        train_history=np.asarray(tr_hist),
+        val_history=np.asarray(va_hist),
+        best_index=best,
+        best_params=best_params,
+        stacked_params=jax.device_get(params),
+        masks=masks,
+    )
+
+
+# ---------------------------------------------------------------------------
+# marginal reporting (loss_comparisons.npz parity)
+# ---------------------------------------------------------------------------
+
+
+def marginal_report(
+    values: np.ndarray, grid_shape: Tuple[int, ...], names: Sequence[str]
+) -> Dict[str, np.ndarray]:
+    """Per-parameter marginal means over all other axes
+    (manual_scan.py:302-364): returns {name: (len_axis, 1) array}."""
+    grid = np.asarray(values).reshape(grid_shape)
+    out = {}
+    for ax, name in enumerate(names):
+        other = tuple(i for i in range(grid.ndim) if i != ax)
+        out[name] = grid.mean(axis=other)[:, None]
+    return out
+
+
+def save_loss_comparisons(
+    path: str,
+    val_losses: np.ndarray,
+    pred_times: np.ndarray,
+    grid_shape: Tuple[int, ...],
+    axis_names: Sequence[str],
+):
+    """``loss_comparisons.npz`` with the reference's key scheme
+    (manual_scan.py:361-364): <axis>_loss and <axis>_time."""
+    loss_m = marginal_report(val_losses, grid_shape, axis_names)
+    time_m = marginal_report(pred_times, grid_shape, axis_names)
+    np.savez(
+        path,
+        **{f"{n}_loss": v for n, v in loss_m.items()},
+        **{f"{n}_time": v for n, v in time_m.items()},
+    )

@@ -1,0 +1,52 @@
+"""End-to-end CLI smoke test: the whole user journey on synthetic data
+(synth-shots -> build-data -> train -> denoise), small workload, in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from specenh.cli import main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory, capfd_unsafe=None):
+    return tmp_path_factory.mktemp("cli")
+
+
+def test_full_cli_journey(workspace, capfd):
+    raw = str(workspace / "raw")
+    ds = str(workspace / "data.hdf5")
+
+    main(["synth-shots", "--out", raw, "--shots", "2", "--channels", "2",
+          "--samples", "50000", "--seed", "1"])
+    assert len(os.listdir(raw)) == 2
+
+    main(["build-data", "--data-dir", raw, "--out", ds, "--channels", "2",
+          "--cut-shot", "0.1", "--quiet"])
+    out = capfd.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == {"done": 2, "skipped": 0, "failed": 0}
+
+    train_dir = str(workspace / "train")
+    main(["train", "--dataset", ds, "--out-dir", train_dir, "--model", "scan_k3",
+          "--epochs", "1", "--num-shots", "2", "--quiet"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["val_loss"]) and out["t_pred"] > 0
+    for artifact in ["model", "ex_specs.png", "val_loss.png", "val_loss.txt",
+                     "t_pred.txt", "metrics.jsonl"]:
+        assert os.path.exists(os.path.join(train_dir, artifact)), artifact
+
+    den_dir = str(workspace / "denoise")
+    main(["denoise", "--dataset", ds, "--out-dir", den_dir])
+    assert os.path.exists(os.path.join(den_dir, "svd_compare.png"))
+    assert os.path.exists(os.path.join(den_dir, "svd_denoised.npy"))
+
+
+def test_resume_skips_done(workspace, capfd):
+    raw = str(workspace / "raw")
+    ds = str(workspace / "data.hdf5")
+    main(["build-data", "--data-dir", raw, "--out", ds, "--channels", "2",
+          "--cut-shot", "0.1", "--quiet"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert out == {"done": 0, "skipped": 2, "failed": 0}

@@ -1,0 +1,183 @@
+"""Tests for shot readers, HDF5 store schema parity, campaign manifest, and
+the dataset-build campaign (specenh.io, specenh.pipeline, specenh.data)."""
+
+import os
+import pickle
+
+import h5py
+import numpy as np
+import pytest
+
+from specenh.config import Config, SpecParams, TrainConfig
+from specenh.data.dataset import assemble_from_store, split_tiles, synthetic_shot_batch
+from specenh.io.shots import (
+    ShotReadError,
+    bes_key,
+    ece_key,
+    read_bes_channels,
+    read_ece_channels,
+    shot_number_from_path,
+)
+from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.pipeline import build_dataset
+
+
+def _write_ece_pkl(path, n_channels=3, n=30_000, seed=0):
+    rng = np.random.default_rng(seed)
+    data = {ece_key(c + 1): rng.standard_normal(n).astype(np.float32) for c in range(n_channels)}
+    with open(path, "wb") as fh:
+        pickle.dump(data, fh)
+    return data
+
+
+def test_key_formats():
+    assert ece_key(1) == "\\tecef01" and ece_key(12) == "\\tecef12"
+    assert len(ece_key(1)) == 8  # literal backslash, not a tab
+    assert bes_key(7) == "besfu07"
+
+
+def test_shot_number_from_path():
+    assert shot_number_from_path("/a/b/ece_176053.pkl") == "176053"
+    assert shot_number_from_path("c/122117_BES.x") == "BES"
+
+
+def test_read_ece_channels(tmp_path):
+    p = str(tmp_path / "ece_1.pkl")
+    data = _write_ece_pkl(p)
+    out = read_ece_channels(p, [1, 2], n_samples=10_000)
+    assert out.shape == (2, 10_000)
+    np.testing.assert_array_equal(out[0], data[ece_key(1)][:10_000])
+    with pytest.raises(ShotReadError):
+        read_ece_channels(p, [99])
+
+
+def test_read_corrupt_pickle_raises(tmp_path):
+    p = str(tmp_path / "ece_2.pkl")
+    with open(p, "wb") as fh:
+        fh.write(b"not a pickle at all")
+    with pytest.raises(ShotReadError):
+        read_ece_channels(p, [1])
+
+
+def test_read_bes_channels(tmp_path):
+    p = str(tmp_path / "122117BES")
+    rng = np.random.default_rng(1)
+    data = {
+        bes_key(c + 1): {"data.BES": rng.standard_normal(5000).astype(np.float32)}
+        for c in range(2)
+    }
+    with open(p, "wb") as fh:
+        pickle.dump(data, fh)
+    out = read_bes_channels(p, [1, 2])
+    assert out.shape == (2, 5000)
+
+
+def test_store_schema_matches_reference(tmp_path):
+    """The HDF5 layout must be readable exactly the way
+    hyperparam_scan.py:130-141 reads it."""
+    path = str(tmp_path / "spectrogram_data.hdf5")
+    spec = np.random.default_rng(0).random((256, 390)).astype(np.float32)
+    lab = np.random.default_rng(1).random((256, 390)).astype(np.float32)
+    f = np.arange(256.0)
+    t = np.arange(390.0)
+    with SpectrogramStore(path) as store:
+        store.write_channel("176053", 1, spec, f, t, lab)
+        store.write_channel("176053", 2, spec * 2, f, t, lab)
+    with h5py.File(path, "r") as fh:  # read exactly as the reference does
+        assert set(fh.keys()) == {"ece_176053"}
+        name = "ece_176053/chn_1"
+        np.testing.assert_array_equal(np.array(fh[name]["spec"]), spec)
+        np.testing.assert_array_equal(np.array(fh[name]["pipeline_out"]), lab)
+        np.testing.assert_array_equal(np.array(fh[name]["f"]), f)
+        np.testing.assert_array_equal(np.array(fh[name]["t"]), t)
+
+
+def test_store_idempotent_overwrite(tmp_path):
+    path = str(tmp_path / "d.hdf5")
+    a = np.zeros((4, 4))
+    b = np.ones((4, 4))
+    with SpectrogramStore(path) as store:
+        store.write_channel("1", 1, a, a[0], a[0], a)
+        store.write_channel("1", 1, b, b[0], b[0], b)  # reference would crash here
+        np.testing.assert_array_equal(store.read_channel("ece_1", 1)["spec"], b)
+
+
+def test_manifest_resume(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    m = CampaignManifest(p)
+    m.mark_done("100")
+    m.mark_failed("101", "corrupt")
+    m.close()
+    m2 = CampaignManifest(p)
+    assert m2.is_done("100") and not m2.is_done("101")
+    assert "corrupt" in list(m2.failed.values())[0]
+    m2.close()
+
+
+def test_build_dataset_campaign(tmp_path):
+    """End-to-end campaign: pkl shots -> STFT+pipeline on device -> HDF5,
+    with quarantine and resume."""
+    cfg = Config(spec=SpecParams(cut_shot=0.05))
+    shots = []
+    for i, shot in enumerate(["111", "222"]):
+        p = str(tmp_path / f"ece_{shot}.pkl")
+        _write_ece_pkl(p, n_channels=2, n=cfg.spec.n_samples, seed=i)
+        shots.append(p)
+    bad = str(tmp_path / "ece_333.pkl")
+    with open(bad, "wb") as fh:
+        fh.write(b"garbage")
+    shots.append(bad)
+
+    store_path = str(tmp_path / "out.hdf5")
+    summary = build_dataset(cfg, shots, channels=[1, 2], store_path=store_path, verbose=False)
+    assert summary == {"done": 2, "skipped": 0, "failed": 1}
+
+    with SpectrogramStore(store_path, "r") as store:
+        assert sorted(store.shots()) == ["ece_111", "ece_222"]
+        d = store.read_channel("ece_111", 1)
+        assert d["spec"].shape == (cfg.spec.n_freqs_kept, cfg.spec.n_frames)
+        assert d["pipeline_out"].shape == d["spec"].shape
+
+    # resume: nothing re-done, failure re-attempted and re-quarantined
+    summary2 = build_dataset(cfg, shots, channels=[1, 2], store_path=store_path, verbose=False)
+    assert summary2 == {"done": 0, "skipped": 2, "failed": 1}
+
+
+def test_assemble_and_split(tmp_path):
+    path = str(tmp_path / "ds.hdf5")
+    rng = np.random.default_rng(0)
+    with SpectrogramStore(path) as store:
+        for shot in ["1", "2"]:
+            for chn in [1, 2]:
+                s = rng.random((256, 3905)).astype(np.float32)
+                store.write_channel(shot, chn, s, np.arange(256.0), np.arange(3905.0), s * 0.5)
+        splits = assemble_from_store(
+            store, num_samples=2, channels=[1, 2], cfg=TrainConfig(), seed=0
+        )
+    total = len(splits.x_train) + len(splits.x_tune) + len(splits.x_test)
+    assert total == 2 * 2 * 30
+    assert len(splits.x_train) == int(total * 0.6)
+    assert splits.x_train.shape[1:] == (256, 128)
+    r = splits.reshaped()
+    assert r.x_train.shape[1:] == (256, 128, 1)
+
+
+def test_assemble_split_by_shot(tmp_path):
+    path = str(tmp_path / "ds2.hdf5")
+    rng = np.random.default_rng(0)
+    with SpectrogramStore(path) as store:
+        for shot in ["1", "2", "3", "4"]:
+            s = rng.random((256, 3905)).astype(np.float32)
+            store.write_channel(shot, 1, s, np.arange(256.0), np.arange(3905.0), s)
+        splits = assemble_from_store(
+            store, num_samples=4, channels=[1],
+            cfg=TrainConfig(split_by="shot"), seed=0,
+        )
+    # 4 spectrograms -> 2/1/1 shots -> tiles in multiples of 30 per split
+    assert len(splits.x_train) % 30 == 0
+    assert len(splits.x_train) + len(splits.x_tune) + len(splits.x_test) == 4 * 30
+
+
+def test_synthetic_shot_batch():
+    b = synthetic_shot_batch(n_shots=2, n_channels=3, n_samples=1000)
+    assert b.shape == (2, 3, 1000) and b.dtype == np.float32

@@ -1,0 +1,163 @@
+"""Model-family tests: architecture parity with the reference Keras models,
+training mechanics, persistence, and Keras weight import."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from specenh.config import MODEL_PRESETS, ModelConfig, TrainConfig
+from specenh.models.autoencoder import make_model, param_count
+from specenh.train import (
+    bce_from_logits,
+    create_state,
+    evaluate,
+    fit,
+    load_model,
+    predict,
+    save_model,
+    train_step,
+)
+
+SMALL = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(64, 32, 1))
+
+
+def _keras_param_count(cfg: ModelConfig) -> int:
+    """Closed-form Keras parameter count for the reference architecture."""
+    total = 0
+    cin = cfg.input_shape[-1]
+    for f, k in zip(cfg.filters, cfg.kernels):
+        total += k[0] * k[1] * cin * f + f
+        cin = f
+    for i in reversed(range(cfg.depth)):
+        f, k = cfg.filters[i], cfg.kernels[i]
+        total += k[0] * k[1] * cin * f + f
+        cin = f
+    total += cfg.out_kernel[0] * cfg.out_kernel[1] * cin * 1 + 1
+    return total
+
+
+@pytest.mark.parametrize("name", ["scan_k3", "scan_k5", "scan_k7", "manual", "deep3", "graphs"])
+def test_preset_shapes_and_param_counts(name):
+    cfg = MODEL_PRESETS[name]
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape)))
+    out = model.apply(params, jnp.zeros((2, *cfg.input_shape)))
+    assert out.shape == (2, *cfg.input_shape)  # autoencoder preserves shape
+    assert param_count(params) == _keras_param_count(cfg)
+
+
+def test_output_is_sigmoid_bounded():
+    model = make_model(SMALL)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 32, 1)))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 64, 32, 1)), jnp.float32)
+    probs = model.apply(params, x)
+    assert float(probs.min()) >= 0.0 and float(probs.max()) <= 1.0
+    logits = model.apply(params, x, logits=True)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(logits)), np.asarray(probs), atol=1e-6)
+
+
+def test_bce_matches_definition():
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    y = jnp.asarray(rng.random((4, 8)), jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    want = -np.mean(np.asarray(y) * np.log(np.asarray(p)) + (1 - np.asarray(y)) * np.log(1 - np.asarray(p)))
+    got = float(bce_from_logits(logits, y))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_mask_ignores_padding():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    y = jnp.asarray(rng.random((4, 8)), jnp.float32)
+    mask = jnp.asarray([1, 1, 0, 0], jnp.float32)
+    got = float(bce_from_logits(logits, y, mask))
+    want = float(bce_from_logits(logits[:2], y[:2]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fit_history_and_determinism():
+    rng = np.random.default_rng(4)
+    x = rng.random((32, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=16, seed=7)
+    s1, h1 = fit(create_state(SMALL, tc), x, y, x[:8], y[:8], tc, epochs=3)
+    s2, h2 = fit(create_state(SMALL, tc), x, y, x[:8], y[:8], tc, epochs=3)
+    assert len(h1["loss"]) == 3 and len(h1["val_loss"]) == 3
+    np.testing.assert_allclose(h1["loss"], h2["loss"], atol=1e-6)  # seeded => deterministic
+    assert h1["loss"][-1] < h1["loss"][0]
+
+
+def test_predict_matches_apply_and_handles_remainder():
+    model = make_model(SMALL)
+    state = create_state(SMALL, TrainConfig())
+    x = jnp.asarray(np.random.default_rng(5).random((13, 64, 32, 1)), jnp.float32)
+    got = np.asarray(predict(state, x, bs=4))  # 3 full + remainder 1
+    want = np.asarray(model.apply(state.params, x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    state = create_state(SMALL, TrainConfig())
+    path = str(tmp_path / "model")
+    save_model(state, path, SMALL)
+    restored, cfg = load_model(path)
+    assert cfg == SMALL
+    x = jnp.asarray(np.random.default_rng(6).random((2, 64, 32, 1)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(predict(restored, x)), np.asarray(predict(state, x)), atol=1e-7
+    )
+
+
+def test_checkpoint_every_epoch(tmp_path):
+    rng = np.random.default_rng(7)
+    x = rng.random((8, 64, 32, 1)).astype(np.float32)
+    y = x
+    ckdir = tmp_path / "ck"
+    fit(
+        create_state(SMALL, TrainConfig(batch_size=8)),
+        x, y, cfg=TrainConfig(batch_size=8), epochs=2,
+        checkpoint_dir=str(ckdir),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    assert sorted(p.name for p in ckdir.iterdir()) == ["epoch_0000", "epoch_0001"]
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+
+
+class TestKerasImport:
+    @pytest.fixture(scope="class")
+    def tf(self):
+        return pytest.importorskip("tensorflow")
+
+    def test_forward_parity_with_keras(self, tf):
+        """A Keras reference model's weights imported into Flax must produce
+        the same predictions — the best_model portability guarantee."""
+        from tensorflow.keras import layers
+        from tensorflow.keras.models import Model
+
+        from specenh.models.keras_import import (
+            model_config_from_keras_weights,
+            params_from_keras_weights,
+        )
+
+        inp = layers.Input(shape=(64, 32, 1))
+        z = layers.Conv2D(8, (3, 3), activation="relu", padding="same")(inp)
+        z = layers.MaxPooling2D((2, 2), padding="same")(z)
+        z = layers.Conv2D(4, (5, 5), activation="relu", padding="same")(z)
+        z = layers.MaxPooling2D((2, 2), padding="same")(z)
+        z = layers.Conv2DTranspose(4, (5, 5), strides=2, activation="relu", padding="same")(z)
+        z = layers.Conv2DTranspose(8, (3, 3), strides=2, activation="relu", padding="same")(z)
+        z = layers.Conv2D(1, (3, 3), activation="sigmoid", padding="same")(z)
+        km = Model(inp, z)
+
+        x = np.random.default_rng(0).standard_normal((2, 64, 32, 1)).astype(np.float32)
+        want = km.predict(x, verbose=0)
+
+        cfg = model_config_from_keras_weights(km.get_weights(), input_shape=(64, 32, 1))
+        assert cfg.filters == (8, 4) and cfg.kernels == ((3, 3), (5, 5))
+        params = params_from_keras_weights(km.get_weights(), cfg)
+        got = np.asarray(make_model(cfg).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,151 @@
+"""Tests for the vmapped masked-envelope hyperparameter sweep
+(specenh.sweep) against standalone training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from specenh.config import ModelConfig, SweepConfig, TrainConfig
+from specenh.models.autoencoder import make_model
+from specenh.sweep import (
+    envelope_config,
+    expand_grid_2layer,
+    expand_grid_3layer,
+    extract_config_params,
+    init_stacked_params,
+    marginal_report,
+    sweep_fit,
+)
+
+SMALL = (64, 32, 1)
+
+
+def _data(n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((n, *SMALL)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    return x, y
+
+
+def test_grid_expansion_shapes():
+    sw = SweepConfig(
+        ker1_vals=((3, 3), (5, 5)), ker2_vals=((3, 3),), ker3_vals=((3, 3),),
+        conv1_vals=(8, 16), conv2_vals=(8,),
+    )
+    cfgs, shape = expand_grid_2layer(sw)
+    assert shape == (2, 1, 1, 2, 1) and len(cfgs) == 4
+    cfgs3, shape3 = expand_grid_3layer(
+        SweepConfig(kernel_vals=((3, 3),), conv1_vals=(4,), conv2_vals=(4, 8), conv3_vals=(4,))
+    )
+    assert shape3 == (1, 1, 2, 1) and len(cfgs3) == 2
+    assert cfgs3[0].depth == 3
+
+
+def test_envelope_is_max():
+    cfgs = [
+        ModelConfig(filters=(8, 4), kernels=((3, 3), (5, 5)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(4, 8), kernels=((7, 7), (3, 3)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    env = envelope_config(cfgs)
+    assert env.filters == (8, 8)
+    assert env.kernels == ((7, 7), (5, 5))
+    assert env.out_kernel == (5, 5)
+
+
+def test_masked_forward_equals_standalone():
+    """A config embedded in the envelope must compute exactly the same
+    function as the standalone model with the cropped params."""
+    cfgs = [
+        ModelConfig(filters=(4, 8), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    env = envelope_config(cfgs)
+    stacked, masks = init_stacked_params(cfgs, env, seed=3)
+    x, _ = _data(4)
+    env_model = make_model(env)
+    for i, cfg in enumerate(cfgs):
+        p_i = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        m_i = jax.tree_util.tree_map(lambda a: a[i], masks)
+        masked = jax.tree_util.tree_map(lambda a, b: a * b, p_i, m_i)
+        out_env = env_model.apply(masked, jnp.asarray(x))
+        small = extract_config_params(stacked, masks, i, cfg, env)
+        out_small = make_model(cfg).apply(small, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out_env), np.asarray(out_small), atol=2e-6)
+
+
+def test_sweep_trains_and_selects_best():
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    x, y = _data(32)
+    res = sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:],
+                    TrainConfig(batch_size=8, seed=0), epochs=3)
+    assert res.val_history.shape == (3, 2)
+    # every config's loss decreased
+    assert (res.val_history[-1] < res.val_history[0]).all()
+    assert res.best_index == int(np.argmin(res.val_losses))
+    # best_params usable standalone
+    out = make_model(cfgs[res.best_index]).apply(res.best_params, jnp.asarray(x[:2]))
+    assert out.shape == (2, *SMALL)
+
+
+def test_sweep_matches_standalone_training():
+    """Training a config inside the masked sweep must track standalone
+    training of the same init (gradient masking => identical trajectory)."""
+    cfg = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL)
+    big = ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL)
+    x, y = _data(16, seed=1)
+    tc = TrainConfig(batch_size=16, seed=0, shuffle=False)
+    res = sweep_fit([cfg, big], x, y, x, y, tc, epochs=3)
+
+    # standalone: same init (extract epoch-0 params by re-initialising)
+    env = envelope_config([cfg, big])
+    stacked, masks = init_stacked_params([cfg, big], env, seed=tc.seed)
+    p0 = extract_config_params(stacked, masks, 0, cfg, env)
+    import optax
+    from specenh.train import bce_from_logits
+
+    model = make_model(cfg)
+    tx = optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.adam_eps)
+    opt = tx.init(p0)
+    p = p0
+    losses = []
+    for _ in range(3):
+        def loss_fn(pp):
+            return bce_from_logits(model.apply(pp, jnp.asarray(x), logits=True), jnp.asarray(y))
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, opt = tx.update(g, opt, p)
+        p = optax.apply_updates(p, up)
+        # validation loss after the step, matching sweep_fit's bookkeeping
+        losses.append(float(bce_from_logits(model.apply(p, jnp.asarray(x), logits=True), jnp.asarray(y))))
+    np.testing.assert_allclose(res.val_history[:, 0], losses, atol=1e-5)
+
+
+def test_marginal_report():
+    vals = np.arange(12, dtype=np.float64)
+    rep = marginal_report(vals, (3, 4), ["a", "b"])
+    assert rep["a"].shape == (3, 1) and rep["b"].shape == (4, 1)
+    np.testing.assert_allclose(rep["a"][:, 0], vals.reshape(3, 4).mean(1))
+    np.testing.assert_allclose(rep["b"][:, 0], vals.reshape(3, 4).mean(0))
+
+
+def test_sweep_sharded_over_mesh():
+    """Config axis sharded over the 8-device mesh — the SLURM-array analog."""
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8, ("sweep",))
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((k, k), (k, k)), out_kernel=(k, k), input_shape=SMALL)
+        for k in (3, 5)
+        for _ in range(4)
+    ]  # 8 configs, one per device
+    x, y = _data(16)
+    res = sweep_fit(cfgs, x, y, x, y, TrainConfig(batch_size=16, seed=0),
+                    epochs=2, mesh=mesh)
+    assert res.val_history.shape == (2, 8)
+    assert np.isfinite(res.val_losses).all()
