@@ -41,22 +41,48 @@ def _cfg_from_args(args) -> Config:
 
 
 def cmd_build_data(args):
-    from specenh.pipeline import build_dataset
-
     cfg = _cfg_from_args(args)
-    files = None
-    if args.data_dir:
-        import glob as _glob
+    import glob as _glob
 
-        files = sorted(_glob.glob(os.path.join(args.data_dir, "*.pkl")))
-    summary = build_dataset(
-        cfg,
-        shot_files=files,
-        channels=list(range(1, args.channels + 1)),
-        store_path=args.out,
-        verbose=not args.quiet,
-    )
+    if args.binary:
+        from specenh.pipeline import build_dataset_streaming
+
+        files = sorted(_glob.glob(os.path.join(args.data_dir, "*.bin")))
+        summary = build_dataset_streaming(
+            cfg, files, n_channels=args.channels, store_path=args.out,
+            verbose=not args.quiet,
+        )
+    else:
+        from specenh.pipeline import build_dataset
+
+        files = (
+            sorted(_glob.glob(os.path.join(args.data_dir, "*.pkl")))
+            if args.data_dir else None
+        )
+        summary = build_dataset(
+            cfg,
+            shot_files=files,
+            channels=list(range(1, args.channels + 1)),
+            store_path=args.out,
+            verbose=not args.quiet,
+        )
     print(json.dumps(summary))
+
+
+def cmd_convert_bin(args):
+    """pickle shots -> SPEC binary (native streaming fast path)."""
+    import glob as _glob
+
+    from specenh.io.binfmt import convert_ece_pickle
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    channels = list(range(1, args.channels + 1))
+    n = 0
+    for pkl in sorted(_glob.glob(os.path.join(args.data_dir, "*.pkl"))):
+        base = os.path.splitext(os.path.basename(pkl))[0] + ".bin"
+        convert_ece_pickle(pkl, os.path.join(args.out_dir, base), channels)
+        n += 1
+    print(json.dumps({"converted": n}))
 
 
 def cmd_synth_shots(args):
@@ -288,8 +314,16 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--out", required=True)
     b.add_argument("--channels", type=int, default=20)
     b.add_argument("--cut-shot", type=float, default=None)
+    b.add_argument("--binary", action="store_true",
+                   help="stream SPEC .bin shots via the native prefetcher")
     b.add_argument("--quiet", action="store_true")
     b.set_defaults(fn=cmd_build_data)
+
+    cb = sub.add_parser("convert-bin", help="pickle shots -> SPEC binaries")
+    cb.add_argument("--data-dir", required=True)
+    cb.add_argument("--out-dir", required=True)
+    cb.add_argument("--channels", type=int, default=20)
+    cb.set_defaults(fn=cmd_convert_bin)
 
     s = sub.add_parser("synth-shots", help="generate synthetic raw shots")
     s.add_argument("--out", required=True)

@@ -26,7 +26,7 @@ from specenh.io.store import CampaignManifest, SpectrogramStore
 from specenh.ops.enhance import classical_pipeline
 from specenh.ops.stft import spectrogram, spectrogram_freqs, spectrogram_times
 
-__all__ = ["build_dataset", "process_shot_fn"]
+__all__ = ["build_dataset", "build_dataset_streaming", "process_shot_fn"]
 
 
 def process_shot_fn(cfg: Config):
@@ -94,5 +94,66 @@ def build_dataset(
             done += 1
             if verbose:
                 print(f"shot {shot}: {len(channels)} channels written")
+    manifest.close()
+    return {"done": done, "skipped": skipped, "failed": failed}
+
+
+def build_dataset_streaming(
+    cfg: Config,
+    bin_files: Sequence[str],
+    n_channels: int,
+    store_path: Optional[str] = None,
+    manifest_path: Optional[str] = None,
+    n_threads: int = 4,
+    verbose: bool = True,
+) -> dict:
+    """Campaign over SPEC binary shots with the NATIVE threaded prefetcher:
+    disk IO + decode run in C++ worker threads while the device computes the
+    previous shot's STFT + pipeline — the streaming production path
+    (falls back to synchronous Python reads without the native library)."""
+    from specenh.io.native import NativePrefetcher
+    from specenh.io.shots import shot_number_from_path
+
+    store_path = store_path or cfg.paths.dataset_file
+    manifest_path = manifest_path or store_path + ".manifest.jsonl"
+    fn = process_shot_fn(cfg)
+    f_axis = spectrogram_freqs(cfg.spec)
+    t_axis = spectrogram_times(cfg.spec)
+
+    bin_files = list(bin_files)
+    manifest = CampaignManifest(manifest_path)
+    pending = [p for p in bin_files if not manifest.is_done(shot_number_from_path(p))]
+    skipped = len(bin_files) - len(pending)
+    done = failed = 0
+    inflight = None  # (shot, device_result) — overlap host IO with device
+
+    def _drain(store, item):
+        nonlocal done
+        shot, (specs, labels) = item
+        specs = np.asarray(specs)
+        labels = np.asarray(labels)
+        for i in range(specs.shape[0]):
+            store.write_channel(shot, i + 1, specs[i], f_axis, t_axis, labels[i])
+        store.flush()
+        manifest.mark_done(shot)
+        done += 1
+        if verbose:
+            print(f"shot {shot}: {specs.shape[0]} channels written")
+
+    with SpectrogramStore(store_path) as store:
+        with NativePrefetcher(
+            pending, n_channels, cfg.spec.n_samples, n_threads=n_threads
+        ) as pf:
+            for idx, traces in pf:
+                if traces is None:
+                    failed += 1
+                    continue
+                shot = shot_number_from_path(pending[idx])
+                result = fn(jnp.asarray(traces))  # async dispatch
+                if inflight is not None:
+                    _drain(store, inflight)
+                inflight = (shot, result)
+            if inflight is not None:
+                _drain(store, inflight)
     manifest.close()
     return {"done": done, "skipped": skipped, "failed": failed}

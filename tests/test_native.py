@@ -1,0 +1,90 @@
+"""Tests for the native C++ shot runtime (SPEC binary format, mmap reader,
+threaded prefetcher) and its Python fallback."""
+
+import numpy as np
+import pytest
+
+from specenh.io.binfmt import convert_ece_pickle, read_shot_bin, write_shot_bin
+from specenh.io.native import NativePrefetcher, load_native, native_available, read_shot
+
+
+def _make_shot(path, c=3, s=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    traces = rng.standard_normal((c, s)).astype(np.float32)
+    write_shot_bin(str(path), traces)
+    return traces
+
+
+def test_binfmt_roundtrip(tmp_path):
+    p = tmp_path / "shot.bin"
+    traces = _make_shot(p)
+    np.testing.assert_array_equal(read_shot_bin(str(p)), traces)
+
+
+def test_binfmt_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"x" * 64)
+    with pytest.raises(ValueError):
+        read_shot_bin(str(p))
+
+
+def test_native_builds():
+    assert native_available(), "native library failed to build (g++ toolchain)"
+
+
+def test_native_read_matches_python(tmp_path):
+    p = tmp_path / "shot.bin"
+    traces = _make_shot(p, c=4, s=2048, seed=1)
+    out = read_shot(str(p), 4, 2048)
+    np.testing.assert_array_equal(out, traces)
+    # truncation + zero-padding semantics
+    out2 = read_shot(str(p), 6, 1024)
+    np.testing.assert_array_equal(out2[:4], traces[:, :1024])
+    assert (out2[4:] == 0).all()
+
+
+def test_prefetcher_streams_all_shots(tmp_path):
+    shots = {}
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"s{i}.bin"
+        shots[i] = _make_shot(p, c=2, s=512, seed=i)
+        paths.append(str(p))
+    seen = {}
+    with NativePrefetcher(paths, n_channels=2, n_samples=512, n_threads=3) as pf:
+        for idx, traces in pf:
+            assert idx >= 0
+            seen[idx] = traces
+    assert sorted(seen) == list(range(6))
+    for i, traces in seen.items():
+        np.testing.assert_array_equal(traces, shots[i])
+
+
+def test_prefetcher_quarantines_corrupt(tmp_path):
+    good = tmp_path / "good.bin"
+    traces = _make_shot(good, c=2, s=256, seed=9)
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"not a shot")
+    results = list(
+        NativePrefetcher([str(good), str(bad)], n_channels=2, n_samples=256)
+    )
+    ok = [r for r in results if r[0] >= 0]
+    failed = [r for r in results if r[0] < 0]
+    assert len(ok) == 1 and len(failed) == 1
+    np.testing.assert_array_equal(ok[0][1], traces)
+    assert failed[0][1] is None
+
+
+def test_convert_ece_pickle(tmp_path):
+    import pickle
+
+    from specenh.io.shots import ece_key
+
+    rng = np.random.default_rng(3)
+    data = {ece_key(c + 1): rng.standard_normal(400).astype(np.float32) for c in range(2)}
+    pkl = tmp_path / "ece_1.pkl"
+    with open(pkl, "wb") as fh:
+        pickle.dump(data, fh)
+    binp = tmp_path / "ece_1.bin"
+    traces = convert_ece_pickle(str(pkl), str(binp), [1, 2])
+    np.testing.assert_array_equal(read_shot_bin(str(binp)), traces)
