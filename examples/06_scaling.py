@@ -1,0 +1,56 @@
+"""Scaling walkthrough: data-parallel training, sequence-parallel long-shot
+processing, and sweep parallelism over a device mesh.
+
+Uses whatever devices are attached; to simulate a pod on CPU run with
+    JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+Run:  python examples/06_scaling.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from specenh.config import ModelConfig, PipelineConfig, SpecParams, TrainConfig
+from specenh.parallel.data_parallel import dp_fit
+from specenh.parallel.mesh import make_mesh
+from specenh.parallel.timeshard import (
+    sharded_enhance,
+    sharded_spectrogram,
+    usable_samples,
+)
+from specenh.train import create_state
+
+
+def main():
+    n_dev = len(jax.devices())
+    print(f"{n_dev} device(s): {jax.devices()[0].platform}")
+
+    # --- data-parallel training over all devices ---
+    mesh = make_mesh(n_dev, ("data",))
+    tiny = ModelConfig(filters=(8, 8), kernels=((3, 3), (3, 3)), input_shape=(64, 32, 1))
+    rng = np.random.default_rng(0)
+    x = rng.random((16 * n_dev, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    state = create_state(tiny, TrainConfig())
+    state, hist = dp_fit(state, x, y, mesh, epochs=2, batch_size=8 * n_dev)
+    print("dp training loss:", hist["loss"])
+
+    # --- sequence-parallel long shot (halo-exchange time sharding) ---
+    tmesh = make_mesh(n_dev, ("time",))
+    sp = SpecParams(cut_shot=4.0)  # a 4-second "long" shot
+    t_use = usable_samples(sp.n_samples, n_dev, sp)
+    trace = jnp.asarray(rng.standard_normal(t_use), jnp.float32)
+    spec = sharded_spectrogram(trace, sp, tmesh)
+    out = sharded_enhance(spec, tmesh, PipelineConfig())
+    print("time-sharded spectrogram:", spec.shape, "->", out.shape)
+
+
+if __name__ == "__main__":
+    main()

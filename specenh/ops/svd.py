@@ -54,8 +54,9 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 # Static cap on how many leading singular triples the subspace path tracks.
 # The Gavish-Donoho count on reference spectrograms is O(10); 2*num_sing-1
-# (compute_signal) stays well under 128.
-K_MAX = 128
+# (compute_signal) stays well under 64.  (Kept modest: the QR factors in the
+# subspace iteration dominate compile+run time on TPU.)
+K_MAX = 64
 
 
 def omega(beta) -> jax.Array:
@@ -109,7 +110,7 @@ def top_k_svd(matrix: jax.Array, k: int, iters: int = 8):
         z, _ = jnp.linalg.qr(z)
         return z
 
-    q = jax.lax.fori_loop(0, iters, body, q, unroll=True)
+    q = jax.lax.fori_loop(0, iters, body, q)
     y = jnp.matmul(a, q, precision=_HI)  # (..., m, k) = A @ V-basis
     # small Gram eigendecomposition: Y^T Y = W diag(s^2) W^T
     g = jnp.matmul(jnp.swapaxes(y, -1, -2), y, precision=_HI)

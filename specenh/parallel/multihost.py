@@ -1,0 +1,82 @@
+"""Multi-host (pod / DCN) campaign scaling.
+
+The reference's only multi-node story is SLURM job arrays writing to a
+shared filesystem (SURVEY.md section 2, parallelism inventory).  The
+TPU-native equivalents:
+
+* ``initialize_distributed`` — ``jax.distributed.initialize`` bootstrap
+  (coordinator via env or args), after which ``jax.devices()`` spans the
+  pod and all single-host code in this package scales transparently via
+  the same Mesh APIs (DP/sweep axes over ICI+DCN);
+* ``host_shard`` — deterministic partition of a shot list across processes:
+  the campaign analog of the SLURM array, but resumable through the shared
+  manifest (each host writes its own store + manifest; ``merge_stores``
+  combines them);
+* ``merge_stores`` — fold per-host HDF5 stores into one dataset file.
+
+Single-host semantics are the identity, so everything here is exercised in
+the test-suite without a cluster (SURVEY.md section 4's fake-multi-device
+strategy covers the device-mesh side; process-level sharding is plain
+Python, tested directly).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+__all__ = ["initialize_distributed", "host_shard", "merge_stores"]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple:
+    """Bootstrap multi-host JAX.  With no args, reads the standard cluster
+    env (TPU pod metadata / JAX_COORDINATOR_ADDRESS etc.).  Returns
+    (process_id, num_processes).  No-op on a single host."""
+    import jax
+
+    if coordinator_address or num_processes:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-host / no cluster env: run standalone
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard(
+    items: Sequence, process_id: Optional[int] = None, num_processes: Optional[int] = None
+) -> List:
+    """Deterministic strided partition of a work list across processes —
+    the SLURM-array analog (hyperparam_scan.py:122) minus the scheduler."""
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    return list(items)[pid::n]
+
+
+def merge_stores(out_path: str, part_paths: Sequence[str]) -> int:
+    """Fold per-host HDF5 stores into one (idempotent; returns channels
+    copied).  Uses h5py low-level copy so axis/label datasets stay exact."""
+    import h5py
+
+    n = 0
+    with h5py.File(out_path, "a") as out:
+        for part in part_paths:
+            with h5py.File(part, "r") as src:
+                for shot in src:
+                    for chn in src[shot]:
+                        name = f"{shot}/{chn}"
+                        if name in out:
+                            del out[name]
+                        src.copy(name, out, name=name)
+                        n += 1
+    return n
