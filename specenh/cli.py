@@ -219,7 +219,29 @@ def cmd_sweep(args):
         train_cfg, epochs=args.epochs, verbose=not args.quiet,
     )
     np.save(os.path.join(args.out_dir, "val_losses.npy"), res.val_losses.reshape(grid_shape))
-    pred_times = np.zeros_like(res.val_losses)  # per-config timing: see train
+
+    # per-config inference timing (manual_scan.py:226-248 pred_times): each
+    # config extracted from the envelope and timed standalone on one
+    # channel's 30 tiles
+    import jax
+    import time as _time
+
+    from specenh.models.autoencoder import make_model
+    from specenh.sweep import extract_config_params
+
+    pred_times = np.zeros_like(res.val_losses)
+    if not args.no_time_configs:
+        tile_batch = jnp.asarray(splits.x_tune[:30])
+        for ci, mc in enumerate(res.configs):
+            p_i = extract_config_params(res.stacked_params, res.masks, ci, mc, res.env)
+            f = jax.jit(lambda pp, t: make_model(mc).apply(pp, t))
+            np.asarray(f(p_i, tile_batch).ravel()[:1])  # compile+sync
+            t0 = _time.perf_counter()
+            out = None
+            for _ in range(8):
+                out = f(p_i, tile_batch)
+            np.asarray(out.ravel()[:1])
+            pred_times[ci] = (_time.perf_counter() - t0) / 8 / tile_batch.shape[0]
     save_loss_comparisons(
         os.path.join(args.out_dir, "loss_comparisons.npz"),
         res.val_losses, pred_times, grid_shape, names,
@@ -352,6 +374,8 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--epochs", type=int, default=15)
     w.add_argument("--num-shots", type=int, default=20)
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--no-time-configs", action="store_true",
+                   help="skip the per-config pred_times measurement")
     w.add_argument("--quiet", action="store_true")
     w.set_defaults(fn=cmd_sweep)
 
