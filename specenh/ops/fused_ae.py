@@ -6,13 +6,15 @@ convs use ~25% of the MXU's 128 output lanes.  Re-expressing every layer on
 the half-resolution "base grid" (the s2d2 domain) turns each layer into ONE
 im2col matmul with K in {128, 512} and N = 128 (4 output phases x 32
 channels) — full MXU lanes — and makes the whole tile's activations small
-enough to live in VMEM for the fused Pallas kernel
-(specenh.ops.fused_ae_pallas).
+enough to live in VMEM for a fused Pallas kernel (planned, round 2 — see
+PERF_NOTES.md).
 
 This module is the MATH: it builds the scattered weight matrices
 (``FusedAEPlan``) from standard Flax ConvAutoencoder params and provides a
-pure-jnp executor ``fused_ae_apply`` that is exactly equivalent (~1e-5) to
-``ConvAutoencoder.apply`` — the correctness anchor for the Pallas port.
+pure-jnp executor ``fused_ae_apply`` that is exactly equivalent to
+``ConvAutoencoder.apply`` under float32 math (~1e-5 on CPU; on TPU the Flax
+reference itself runs default-precision bf16-accumulated convs, so compare
+against fused_ae_apply or on CPU when anchoring a kernel port).
 
 Layer algebra (tile (256,128,1); base grid (128,64); phases a,b in {0,1}):
 
@@ -110,9 +112,15 @@ def _convt_phase_weights(kernel: np.ndarray) -> Tuple[np.ndarray, int, int]:
     resp = _convt_response(kernel, ci, co)
     # offsets delta = a - 2e => e = (a - dy) / 2 for matching parity
     es = sorted({(a - dy) // 2 for (dy, _) in resp for a in range(2) if (a - dy) % 2 == 0})
+    fs = sorted({(b - dx) // 2 for (_, dx) in resp for b in range(2) if (b - dx) % 2 == 0})
     e_lo, e_hi = min(es), max(es)
-    if e_hi - e_lo + 1 > 2:
-        raise NotImplementedError(f"window {e_hi - e_lo + 1} > 2 for k={k}")
+    f_lo, f_hi = min(fs), max(fs)
+    if e_hi - e_lo + 1 > 2 or f_hi - f_lo + 1 > 2:
+        raise NotImplementedError(
+            f"window {(e_hi - e_lo + 1, f_hi - f_lo + 1)} > 2x2 for k={k}"
+        )
+    if f_lo != e_lo:
+        raise NotImplementedError("non-square convT window offsets unsupported")
     out = np.zeros((2, 2, ci, 4 * co), kernel.dtype)
     for (dy, dx), block in resp.items():
         for a in range(2):
@@ -120,9 +128,11 @@ def _convt_phase_weights(kernel: np.ndarray) -> Tuple[np.ndarray, int, int]:
                 if (a - dy) % 2 or (b - dx) % 2:
                     continue
                 e, f = (a - dy) // 2, (b - dx) // 2
-                if e_lo <= e <= e_lo + 1 and e_lo <= f <= e_lo + 1:
-                    out[e - e_lo, f - e_lo, :, (a * 2 + b) * co : (a * 2 + b + 1) * co] = block
-    return out.reshape(2 * 2 * ci, 4 * co), e_lo, e_lo
+                assert e_lo <= e <= e_lo + 1 and f_lo <= f <= f_lo + 1, (
+                    "impulse response tap outside derived window"
+                )
+                out[e - e_lo, f - f_lo, :, (a * 2 + b) * co : (a * 2 + b + 1) * co] = block
+    return out.reshape(2 * 2 * ci, 4 * co), e_lo, f_lo
 
 
 @dataclasses.dataclass

@@ -1,6 +1,10 @@
 """Exact-equivalence tests: the polyphase (space-to-depth) autoencoder
 formulation (specenh.ops.fused_ae) vs the standard Flax model.
 
+NOTE: equivalence at 1e-5 holds under float32 math (this suite runs on CPU
+per conftest).  On TPU the Flax reference itself uses default-precision
+convs, so device-side comparisons should anchor on fused_ae_apply.
+
 This formulation is the validated foundation for the round-2 fused Pallas
 kernel (see PERF_NOTES.md); every scatter matrix is exercised here.
 """
