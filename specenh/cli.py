@@ -233,7 +233,7 @@ def cmd_sweep(args):
     if not args.no_time_configs:
         tile_batch = jnp.asarray(splits.x_tune[:30])
         for ci, mc in enumerate(res.configs):
-            p_i = extract_config_params(res.stacked_params, res.masks, ci, mc, res.env)
+            p_i = extract_config_params(res.stacked_params, ci, mc, res.env)
             f = jax.jit(lambda pp, t: make_model(mc).apply(pp, t))
             np.asarray(f(p_i, tile_batch).ravel()[:1])  # compile+sync
             t0 = _time.perf_counter()

@@ -88,15 +88,32 @@ def detrend_projection(n: int, kind: str = "linear") -> np.ndarray:
     raise ValueError(f"unknown detrend kind: {kind!r}")
 
 
+def _window_np(name: str, n: int) -> np.ndarray:
+    """Periodic (fftbins) window by name; matches scipy.signal.get_window."""
+    if name in ("hamm", "hamming"):
+        return hamming_periodic(n)
+    if name in ("hann", "hanning"):
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+    if name in ("boxcar", "rect", "rectangular"):
+        return np.ones(n)
+    try:
+        import scipy.signal
+
+        return np.asarray(scipy.signal.get_window(name, n))
+    except Exception as e:  # pragma: no cover
+        raise ValueError(f"unsupported window {name!r}") from e
+
+
 @functools.lru_cache(maxsize=8)
 def _basis_np(
-    nperseg: int, detrend: str, fs: float, scaling: str, onesided: bool = True
+    nperseg: int, detrend: str, fs: float, scaling: str, window: str = "hamm",
+    onesided: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Host-side (float64) computation of the combined STFT basis.
 
     Returns (B_real, B_imag) of shape (nperseg, n_freqs) and the PSD scale.
     """
-    w = hamming_periodic(nperseg)
+    w = _window_np(window, nperseg)
     p = detrend_projection(nperseg, detrend)
     n_freqs = nperseg // 2 + 1 if onesided else nperseg
     k = np.arange(n_freqs)[None, :]  # (1, n_freqs)
@@ -124,7 +141,9 @@ def stft_basis(sp: SpecParams, dtype=jnp.float32):
     bins (SciPy doubles everything except DC and, for even nperseg, Nyquist)
     into a single per-frequency multiplier.
     """
-    b_real, b_imag, scale = _basis_np(sp.nperseg, sp.detrend, sp.fs, sp.scaling)
+    b_real, b_imag, scale = _basis_np(
+        sp.nperseg, sp.detrend, sp.fs, sp.scaling, sp.window
+    )
     n_freqs = b_real.shape[1]
     weights = np.full(n_freqs, 2.0 * scale)
     weights[0] = scale

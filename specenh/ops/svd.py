@@ -186,17 +186,22 @@ def denoise_signal(
     """
     n_min = min(matrix.shape[-2], matrix.shape[-1])
     if use_optimal:
+        # reference quirk: stop = num_sing - 1; for num_sing == 0 that is a
+        # NEGATIVE python slice bound (u[:, 0:-1] keeps all but the last
+        # component), so the effective stop wraps to n_min - 1
         if method == "svd":
             u, s, vh = jnp.linalg.svd(matrix, full_matrices=False)
             num_sing = gavish_donoho_count(s, matrix.shape)
+            stop = jnp.where(num_sing >= 1, num_sing - 1, s.shape[-1] - 1)
             idx = jnp.arange(s.shape[-1])
-            mask = (idx >= 0) & (idx < num_sing[..., None] - 1)
+            mask = (idx >= 0) & (idx < stop[..., None])
             return _band_reconstruct(u, s, vh, mask)
         s_full = _full_spectrum_for_median(matrix)
         num_sing = gavish_donoho_count(s_full, matrix.shape)
         u, s, vh = top_k_svd(matrix, K_MAX)
+        stop = jnp.where(num_sing >= 1, num_sing - 1, n_min - 1)
         idx = jnp.arange(s.shape[-1])
-        mask = idx < num_sing[..., None] - 1  # start=0, stop=num_sing-1
+        mask = idx < stop[..., None]  # start=0
         return _band_reconstruct(u, s, vh, mask)
 
     lo = 1 if start is None else max(int(start), 0)

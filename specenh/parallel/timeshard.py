@@ -17,13 +17,14 @@ halos each op needs:
 Everything lives in ONE ``shard_map`` so XLA overlaps the ``ppermute``
 halo traffic (ICI neighbours) with local compute.
 
-Frame bookkeeping: with T_local = k * hop samples per device, each device
-owns k frames; the global frame count is (T - nperseg)/hop + 1 = n*k - 1,
-so the LAST device's final frame has no data.  Rather than masking it
-through every downstream global reduction, it is replaced by a copy of the
-previous frame — harmless to min/max (duplicate values), and it lives in the
-trailing columns the reference's ``patch`` drops anyway (SURVEY.md #17).
-Callers wanting the exact frame set slice ``[..., :-1]``.
+Frame bookkeeping: with T_local = k * hop samples per device and
+r = nperseg/hop, each device owns k frames; the global frame count is
+(T - nperseg)/hop + 1 = n*k - (r-1), so the LAST device's final r-1 frames
+have no data.  Rather than masking them through every downstream global
+reduction, they are replaced by copies of the last valid frame — harmless
+to min/max (duplicate values), and they live in the trailing columns the
+reference's ``patch`` drops anyway (SURVEY.md #17).  Callers wanting the
+exact frame set slice ``[..., :-(r-1)]``.
 """
 
 from __future__ import annotations
@@ -33,9 +34,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from specenh.config import PipelineConfig, SpecParams
@@ -155,6 +155,11 @@ def sharded_spectrogram(
             "trim with usable_samples()"
         )
     k = t_total // (n_dev * sp.hop)
+    r = sp.nperseg // sp.hop  # the last device's final r-1 frames lack data
+    if k < r:
+        raise ValueError(
+            f"each shard must hold at least nperseg/hop={r} frames; got {k}"
+        )
     b_real, b_imag, weights = stft_basis(sp)
     halo = sp.nperseg - sp.hop
 
@@ -166,10 +171,13 @@ def sharded_spectrogram(
         zr = jnp.matmul(frames, b_real, precision=_HI)
         zi = jnp.matmul(frames, b_imag, precision=_HI)
         psd = (zr * zr + zi * zi) * weights  # (..., k, F)
-        # last device's final frame has no data: copy the previous frame
+        # last device's final r-1 frames have no data: copy the last valid
         is_last = i == n - 1
-        fixed_tail = jnp.where(is_last, psd[..., k - 2, :], psd[..., k - 1, :])
-        psd = jnp.concatenate([psd[..., : k - 1, :], fixed_tail[..., None, :]], axis=-2)
+        if r > 1:
+            src = psd[..., k - r : k - r + 1, :]
+            tail = jnp.broadcast_to(src, (*psd.shape[:-2], r - 1, psd.shape[-1]))
+            fixed = jnp.where(is_last, tail, psd[..., k - r + 1 :, :])
+            psd = jnp.concatenate([psd[..., : k - r + 1, :], fixed], axis=-2)
         sxx = jnp.log(psd + jnp.asarray(sp.eps, psd.dtype))
         sxx = jnp.swapaxes(sxx, -1, -2)  # (..., F, k)
         sxx = _grescale(sxx, axis)
@@ -206,6 +214,26 @@ def _sharded_gauss_u8(u8, kt, kf, axis_name):
         out = s if out is None else out + s
     res = jnp.floor((out + jnp.float32(32768.0)) * jnp.float32(1.0 / 65536.0))
     return jnp.clip(res, 0.0, 255.0)
+
+
+def _sharded_gauss_float(x, kt, kf, axis_name):
+    """Pure-float separable Gaussian on a time-sharded image (the
+    emulate_uint8=False branch of ops.enhance.gaussian_blur)."""
+    rt, rf = len(kt) // 2, len(kf) // 2
+    t_len = x.shape[-1]
+    ext = _extend_time(x, rt, rt, axis_name, "reflect101")
+    acc = None
+    for idx, c in enumerate(kt):
+        s_ = ext[..., idx : idx + t_len] * jnp.asarray(c, x.dtype)
+        acc = s_ if acc is None else acc + s_
+    pads = [(0, 0)] * (acc.ndim - 2) + [(rf, rf), (0, 0)]
+    accp = jnp.pad(acc, pads, mode="reflect")
+    f_len = x.shape[-2]
+    out = None
+    for j, c in enumerate(kf):
+        s_ = accp[..., j : j + f_len, :] * jnp.asarray(c, x.dtype)
+        out = s_ if out is None else out + s_
+    return out
 
 
 def _sharded_minmax_window(x, se, is_max, axis_name):
@@ -258,10 +286,17 @@ def sharded_enhance(
         q = jnp.quantile(s, cfg.quant_threshold, axis=-2, keepdims=True, method="linear")
         x = jnp.where(s < q, jnp.zeros((), s.dtype), s)
         # gaussblr
-        kt = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[0]))
-        kf = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[1]))
-        x = _gto_u8(x, axis)
-        x = _sharded_gauss_u8(x, kt, kf, axis)
+        if cfg.emulate_uint8:
+            kt = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[0]))
+            kf = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[1]))
+            x = _gto_u8(x, axis)
+            x = _sharded_gauss_u8(x, kt, kf, axis)
+        else:
+            from specenh.ops.enhance import _gauss_kernel_f64
+
+            kt = list(_gauss_kernel_f64(cfg.gauss_ksize[0]))
+            kf = list(_gauss_kernel_f64(cfg.gauss_ksize[1]))
+            x = _sharded_gauss_float(x, kt, kf, axis)
         x = _grescale(x, axis)
         # meansub
         x = _sharded_meansub(x, axis)

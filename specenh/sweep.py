@@ -87,7 +87,19 @@ def expand_grid_3layer(sw: SweepConfig) -> Tuple[List[ModelConfig], Tuple[int, .
 
 
 def envelope_config(configs: Sequence[ModelConfig]) -> ModelConfig:
-    """The maximal architecture containing every config in the sweep."""
+    """The maximal architecture containing every config in the sweep.
+
+    All kernel dims must be ODD: the zero-padding equivalence (centred
+    embedding under SAME padding) breaks for even kernels, whose SAME pad
+    split shifts by one — an even kernel embedded in a larger envelope
+    computes a spatially shifted conv (verified ~4e-2 output divergence).
+    """
+    for c in configs:
+        for k in (*c.kernels, c.out_kernel):
+            if k[0] % 2 == 0 or k[1] % 2 == 0:
+                raise ValueError(
+                    f"sweep kernels must be odd for exact envelope embedding; got {k}"
+                )
     depth = {c.depth for c in configs}
     if len(depth) != 1:
         raise ValueError("all sweep configs must share depth")
@@ -192,9 +204,10 @@ def init_stacked_params(
     return params, masks
 
 
-def extract_config_params(stacked, masks, idx: int, cfg: ModelConfig, env: ModelConfig):
+def extract_config_params(stacked, idx: int, cfg: ModelConfig, env: ModelConfig):
     """Crop config ``idx`` back out of the stacked envelope into standalone
-    params for ``make_model(cfg)`` (kernel window + channel ranges)."""
+    params for ``make_model(cfg)`` (kernel window + channel ranges — the
+    crop covers exactly the nonzero-mask region by construction)."""
     out = {}
     env_geo = {g[0]: (g[1], g[2], g[3]) for g in _layer_geometry(env)}
     for name, k, cin, cout in _layer_geometry(cfg):
@@ -306,15 +319,32 @@ def sweep_fit(
         losses = np.asarray(jax.device_get(losses))  # (n_batches, n_cfg)
         weights = np.asarray(weights)[:, None]
         tr_hist.append((losses * weights).sum(0) / weights.sum())
-        val = v_loss(params, masks, x_val, y_val, jnp.ones(x_val.shape[0], jnp.float32))
-        va_hist.append(np.asarray(jax.device_get(val)))
+        # batched validation (one unbatched call over n_configs x full val
+        # set would OOM on realistic sweeps)
+        nv = x_val.shape[0]
+        v_losses, v_weights = [], []
+        for i in range(0, nv, bs):
+            idx = np.arange(i, min(i + bs, nv))
+            w = np.ones(len(idx), np.float32)
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            v_losses.append(
+                v_loss(params, masks, x_val[jnp.asarray(idx)],
+                       y_val[jnp.asarray(idx)], jnp.asarray(w))
+            )
+            v_weights.append(w.sum())
+        v_losses = np.asarray(jax.device_get(v_losses))  # (n_batches, n_cfg)
+        v_weights = np.asarray(v_weights)[:, None]
+        va_hist.append((v_losses * v_weights).sum(0) / v_weights.sum())
         if verbose:
             print(f"epoch {epoch+1}/{epochs} val={np.array2string(va_hist[-1], precision=4)}")
 
     val_losses = va_hist[-1]
     best = int(np.argmin(val_losses))
     best_params = extract_config_params(
-        jax.device_get(params), masks, best, configs[best], env
+        jax.device_get(params), best, configs[best], env
     )
     return SweepResult(
         configs=list(configs),

@@ -100,3 +100,33 @@ def test_sharded_enhance_batched(tmesh8):
     got = np.asarray(sharded_enhance(spec, tmesh8))
     want = np.asarray(classical_pipeline(jnp.asarray(spec)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_spectrogram_quarter_hop(tmesh8):
+    """hop = nperseg/4: the last device's final r-1 = 3 frames lack data and
+    must all be copies of the last valid frame (regression: only 1 was)."""
+    sp = SpecParams(cut_shot=0.2, noverlap=384)  # hop = 128, r = 4
+    x = synth_trace(SpecParams(cut_shot=0.2), seed=8)
+    t_use = usable_samples(sp.n_samples, 8, sp)
+    got = np.asarray(sharded_spectrogram(jnp.asarray(x[:t_use]), sp, tmesh8))
+    want = np.asarray(
+        spectrogram(jnp.asarray(x[:t_use]), SpecParams(cut_shot=t_use / sp.fs, noverlap=384))
+    )
+    nf = want.shape[-1]
+    assert got.shape[-1] == nf + 3
+    np.testing.assert_allclose(got[..., :nf], want, atol=5e-5)
+    for j in range(1, 4):
+        np.testing.assert_allclose(got[..., -j], got[..., -4], atol=0)
+
+
+def test_sharded_enhance_float_path(tmesh8):
+    """emulate_uint8=False must select the float blur in the sharded
+    pipeline too (regression: flag was ignored)."""
+    sp = SpecParams(cut_shot=0.2)
+    x = synth_trace(sp, seed=9)
+    t_use = usable_samples(sp.n_samples, 8, sp)
+    spec = sharded_spectrogram(jnp.asarray(x[:t_use]), sp, tmesh8)
+    cfg = PipelineConfig(emulate_uint8=False)
+    got = np.asarray(sharded_enhance(spec, tmesh8, cfg))
+    want = np.asarray(classical_pipeline(jnp.asarray(spec), cfg))
+    np.testing.assert_allclose(got, want, atol=1e-5)

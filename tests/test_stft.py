@@ -129,3 +129,14 @@ def test_known_line_lands_in_right_bin():
     peak_bin = int(np.argmax(s.mean(axis=1)))
     expect = int(round(1.2e5 / (sp.fs / sp.nperseg)))
     assert abs(peak_bin - expect) <= 1
+
+
+@pytest.mark.parametrize("window", ["hann", "boxcar", "blackman"])
+def test_alternate_windows_match_scipy(window):
+    """sp.window must be honoured (regression: it was silently ignored)."""
+    sp = SpecParams(cut_shot=0.05, window=window)
+    x = synth_trace(sp, seed=9)
+    _, _, sxx_ref = _scipy_spec(x, sp)
+    psd = np.asarray(stft_psd(jnp.asarray(x), sp))
+    scale = np.abs(sxx_ref).max()
+    np.testing.assert_allclose(psd / scale, sxx_ref / scale, atol=3e-6)

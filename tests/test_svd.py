@@ -122,3 +122,20 @@ def test_denoise_on_real_spectrogram(small_spec):
     rw = (want - want.min()) / (want.max() - want.min())
     rg = (got - got.min()) / (got.max() - got.min())
     assert ssim(rg, rw) > 0.99
+
+
+def test_use_optimal_zero_count_negative_slice_quirk():
+    """When the Gavish-Donoho count is 0, the reference's stop = -1 hits
+    Python negative slicing and keeps all but the LAST component."""
+    rng = np.random.default_rng(11)
+    # orthogonal-ish matrix: flat singular spectrum => num_sing == 0
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    m = q + 0.01 * rng.standard_normal((64, 64))
+    s64 = np.linalg.svd(m, compute_uv=False)
+    beta = 1.0
+    t_star = (0.56 - 0.95 + 1.82 + 1.43) * np.median(s64)
+    assert (s64 > t_star).sum() == 0  # precondition
+    want = ref.svd_denoise_ref(m, use_optimal=True)
+    got = np.asarray(svd.denoise_signal(jnp.asarray(m, jnp.float32), use_optimal=True))
+    assert np.abs(want).max() > 0.2  # reference keeps rank n-1, not zeros
+    assert np.abs(got - want).max() / np.abs(m).max() < 5e-2

@@ -70,7 +70,7 @@ def test_masked_forward_equals_standalone():
         m_i = jax.tree_util.tree_map(lambda a: a[i], masks)
         masked = jax.tree_util.tree_map(lambda a, b: a * b, p_i, m_i)
         out_env = env_model.apply(masked, jnp.asarray(x))
-        small = extract_config_params(stacked, masks, i, cfg, env)
+        small = extract_config_params(stacked, i, cfg, env)
         out_small = make_model(cfg).apply(small, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out_env), np.asarray(out_small), atol=2e-6)
 
@@ -104,7 +104,7 @@ def test_sweep_matches_standalone_training():
     # standalone: same init (extract epoch-0 params by re-initialising)
     env = envelope_config([cfg, big])
     stacked, masks = init_stacked_params([cfg, big], env, seed=tc.seed)
-    p0 = extract_config_params(stacked, masks, 0, cfg, env)
+    p0 = extract_config_params(stacked, 0, cfg, env)
     import optax
     from specenh.train import bce_from_logits
 
@@ -149,3 +149,12 @@ def test_sweep_sharded_over_mesh():
                     epochs=2, mesh=mesh)
     assert res.val_history.shape == (2, 8)
     assert np.isfinite(res.val_losses).all()
+
+
+def test_even_kernels_rejected():
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((4, 4), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(4, 4), kernels=((5, 5), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+    ]
+    with pytest.raises(ValueError, match="odd"):
+        envelope_config(cfgs)
