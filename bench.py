@@ -22,19 +22,35 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline_cpu.jso
 
 
 def measure_tpu(n_channels: int = 20) -> float:
-    """Spectrograms (channels) per second on one chip, steady-state."""
+    """Spectrograms (channels) per second on one chip, steady-state.
+
+    Self-checking: the measured path's spectrogram is validated against the
+    CPU reference recipe at SSIM >= 0.99 (the BASELINE.md quality gate) —
+    a fast-but-wrong kernel fails the bench instead of reporting a number.
+    """
     import jax
 
     from specenh.bench.harness import example_shot, make_enhance_shot_fn, time_fn
+    from specenh.bench.reference_cpu import spectrogram_ref
     from specenh.config import ModelConfig, SpecParams
     from specenh.models.autoencoder import make_model
+    from specenh.utils.metrics import ssim
 
     sp = SpecParams()
     cfg = ModelConfig()  # flagship: depth-2, filters (32,32), k=3
-    traces = jax.device_put(example_shot(sp, n_channels))
+    host_traces = example_shot(sp, n_channels)
+    traces = jax.device_put(host_traces)
     model = make_model(cfg)
     params = model.init(jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32))
     fn = make_enhance_shot_fn(cfg, sp)
+
+    specs, _ = fn(params, traces)
+    golden, _, _ = spectrogram_ref(host_traces[0], sp)
+    quality = ssim(np.asarray(specs[0]), golden)
+    if quality < 0.99:
+        raise SystemExit(f"quality gate failed: spectrogram SSIM {quality:.4f} < 0.99")
+    print(f"# spectrogram SSIM vs CPU reference: {quality:.6f}", file=sys.stderr)
+
     sec = time_fn(fn, params, traces, iters=20, warmup=3)
     return n_channels / sec
 

@@ -30,6 +30,8 @@ def make_enhance_shot_fn(
     sp: SpecParams = SpecParams(),
     ps: PatchSpec = PatchSpec(),
     dtype=jnp.bfloat16,
+    mesh=None,
+    axis: str = "data",
 ) -> Callable:
     """Returns jitted fn(params, traces) -> (specs, enhanced):
     traces (C, n_samples) -> specs (C, 256, 3905), enhanced (C, 256, 3840).
@@ -37,17 +39,31 @@ def make_enhance_shot_fn(
     The conv-AE runs in ``dtype`` (bfloat16 by default — ~2x MXU throughput,
     float32 params; output SSIM vs the fp32 path is >0.999).  The STFT stays
     float32-HIGHEST: its log/min-max normalisation is precision-critical.
+
+    With ``mesh`` given, the service scales out: channels are sharded over
+    ``axis`` (params replicated) and each chip enhances its slice — the
+    multi-chip serving configuration (channels must divide the axis size).
     """
     model = make_model(model_cfg, dtype=dtype)
 
-    @jax.jit
     def enhance_shot(params, traces):
         specs = spectrogram(traces, sp)  # (C, F, T)
         tiles = patch(specs, ps)[..., None]  # (C*30, F, w, 1)
         pred = model.apply(params, tiles)  # sigmoid probabilities
         return specs, unpatch(jnp.squeeze(pred, -1), ps)
 
-    return enhance_shot
+    if mesh is None:
+        return jax.jit(enhance_shot)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    chan = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        enhance_shot,
+        in_shardings=(repl, chan),
+        out_shardings=(chan, chan),
+    )
 
 
 def example_shot(

@@ -130,3 +130,22 @@ def test_sharded_enhance_float_path(tmesh8):
     got = np.asarray(sharded_enhance(spec, tmesh8, cfg))
     want = np.asarray(classical_pipeline(jnp.asarray(spec), cfg))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_multichip_serving_matches_single(mesh8):
+    """The channel-sharded enhance service must equal the single-device one
+    (per-channel ops only — no collectives needed)."""
+    from specenh.bench.harness import make_enhance_shot_fn
+    from specenh.models.autoencoder import make_model
+
+    sp = SpecParams(cut_shot=0.05)
+    cfg = ModelConfig()
+    params = make_model(cfg).init(jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32))
+    rng = np.random.default_rng(12)
+    traces = jnp.asarray(rng.standard_normal((8, sp.n_samples)), jnp.float32)
+    f1 = make_enhance_shot_fn(cfg, sp, dtype=None)
+    fm = make_enhance_shot_fn(cfg, sp, dtype=None, mesh=mesh8)
+    s1, e1 = f1(params, traces)
+    s2, e2 = fm(params, traces)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-5)
