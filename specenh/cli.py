@@ -178,6 +178,40 @@ def cmd_train(args):
     print(json.dumps({"val_loss": hist["val_loss"][-1], "t_pred": t_predict}))
 
 
+def cmd_train_raw(args):
+    """Device-resident fast path: raw shots -> trained model, no HDF5
+    round-trip (specenh.e2e)."""
+    import glob as _glob
+
+    import jax.numpy as jnp
+
+    from specenh.e2e import train_from_raw
+    from specenh.io.native import read_shot
+    from specenh.io.shots import read_ece_channels
+    from specenh.train import save_model
+
+    cfg = _cfg_from_args(args)
+    model_cfg = MODEL_PRESETS[args.model]
+    traces = []
+    if args.binary:
+        for p in sorted(_glob.glob(os.path.join(args.data_dir, "*.bin"))):
+            traces.append(read_shot(p, args.channels, cfg.spec.n_samples))
+    else:
+        for p in sorted(_glob.glob(os.path.join(args.data_dir, "*.pkl"))):
+            traces.append(
+                read_ece_channels(p, list(range(1, args.channels + 1)), cfg.spec.n_samples)
+            )
+    traces = np.concatenate(traces, axis=0)
+    state, hist = train_from_raw(
+        traces, cfg, model_cfg,
+        TrainConfig(epochs=args.epochs, seed=args.seed),
+        verbose=not args.quiet,
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
+    print(json.dumps({"val_loss": hist["val_loss"][-1], "channels": int(traces.shape[0])}))
+
+
 def cmd_sweep(args):
     import jax.numpy as jnp
 
@@ -366,6 +400,18 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoints", action="store_true")
     t.add_argument("--quiet", action="store_true")
     t.set_defaults(fn=cmd_train)
+
+    tr = sub.add_parser("train-raw", help="raw shots -> model, device-resident (no HDF5)")
+    tr.add_argument("--data-dir", required=True)
+    tr.add_argument("--out-dir", required=True)
+    tr.add_argument("--model", choices=sorted(MODEL_PRESETS), default="scan_k3")
+    tr.add_argument("--channels", type=int, default=20)
+    tr.add_argument("--epochs", type=int, default=15)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--cut-shot", type=float, default=None)
+    tr.add_argument("--binary", action="store_true")
+    tr.add_argument("--quiet", action="store_true")
+    tr.set_defaults(fn=cmd_train_raw)
 
     w = sub.add_parser("sweep", help="vmapped hyperparameter sweep")
     w.add_argument("--dataset", required=True)

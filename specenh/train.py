@@ -86,6 +86,41 @@ def train_step(state: TrainState, x: jax.Array, y: jax.Array, mask: jax.Array):
 
 
 @jax.jit
+def train_epoch(state: TrainState, x: jax.Array, y: jax.Array,
+                batch_idx: jax.Array, batch_mask: jax.Array):
+    """One full epoch as a single device program (lax.scan over batches).
+
+    One dispatch per epoch instead of per batch — decisive on tunnelled
+    backends where each host->device round trip costs ~50 ms.  ``batch_idx``
+    (n_batches, bs) indexes the epoch's shuffled batches; padded slots are
+    masked by ``batch_mask``.  Returns (state, per-batch losses).
+    """
+
+    def body(st, args):
+        idx, m = args
+
+        def loss_fn(params):
+            logits = st.apply_fn(params, x[idx], logits=True)
+            return bce_from_logits(logits, y[idx], m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        return st.apply_gradients(grads=grads), loss
+
+    return jax.lax.scan(body, state, (batch_idx, batch_mask))
+
+
+@jax.jit
+def eval_epoch(state: TrainState, x: jax.Array, y: jax.Array,
+               batch_idx: jax.Array, batch_mask: jax.Array):
+    def body(_, args):
+        idx, m = args
+        logits = state.apply_fn(state.params, x[idx], logits=True)
+        return None, bce_from_logits(logits, y[idx], m)
+
+    return jax.lax.scan(body, None, (batch_idx, batch_mask))[1]
+
+
+@jax.jit
 def eval_loss(state: TrainState, x: jax.Array, y: jax.Array, mask: jax.Array):
     logits = state.apply_fn(state.params, x, logits=True)
     return bce_from_logits(logits, y, mask)
@@ -101,6 +136,13 @@ def _batches(n: int, bs: int, perm: np.ndarray):
             idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
             m = np.concatenate([m, np.zeros(pad, np.float32)])
         yield idx, m
+
+
+def _epoch_batches(n: int, bs: int, perm: np.ndarray):
+    """All of an epoch's batches as stacked (n_batches, bs) index/mask
+    arrays (the lax.scan form of _batches)."""
+    idxs, masks = zip(*_batches(n, bs, perm))
+    return np.stack(idxs).astype(np.int32), np.stack(masks)
 
 
 def fit(
@@ -135,15 +177,14 @@ def fit(
     for epoch in range(epochs):
         t0 = time.perf_counter()
         perm = rng.permutation(n) if cfg.shuffle else np.arange(n)
-        losses, weights = [], []
-        for idx, m in _batches(n, bs, perm):
-            xb = x_train[jnp.asarray(idx)]
-            yb = y_train[jnp.asarray(idx)]
-            state, loss = train_step(state, xb, yb, jnp.asarray(m))
-            losses.append(loss)
-            weights.append(m.sum())
+        batch_idx, batch_mask = _epoch_batches(n, bs, perm)
+        # whole epoch = ONE device program (scan over batches): one dispatch
+        # per epoch instead of per batch
+        state, losses = train_epoch(
+            state, x_train, y_train, jnp.asarray(batch_idx), jnp.asarray(batch_mask)
+        )
         losses = np.asarray(jax.device_get(losses))
-        weights = np.asarray(weights)
+        weights = batch_mask.sum(axis=1)
         epoch_loss = float((losses * weights).sum() / weights.sum())
         history["loss"].append(epoch_loss)
 
@@ -187,12 +228,11 @@ def evaluate(state: TrainState, x: jax.Array, y: jax.Array, bs: int = 128) -> fl
     n = x.shape[0]
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
-    losses, weights = [], []
-    for idx, m in _batches(n, bs, np.arange(n)):
-        losses.append(eval_loss(state, x[jnp.asarray(idx)], y[jnp.asarray(idx)], jnp.asarray(m)))
-        weights.append(m.sum())
-    losses = np.asarray(jax.device_get(losses))
-    weights = np.asarray(weights)
+    batch_idx, batch_mask = _epoch_batches(n, min(bs, n), np.arange(n))
+    losses = np.asarray(
+        jax.device_get(eval_epoch(state, x, y, jnp.asarray(batch_idx), jnp.asarray(batch_mask)))
+    )
+    weights = batch_mask.sum(axis=1)
     return float((losses * weights).sum() / weights.sum())
 
 

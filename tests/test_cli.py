@@ -50,3 +50,13 @@ def test_resume_skips_done(workspace, capfd):
           "--cut-shot", "0.1", "--quiet"])
     out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
     assert out == {"done": 0, "skipped": 2, "failed": 0}
+
+
+def test_train_raw_device_resident(workspace, capfd):
+    raw = str(workspace / "raw")
+    out = str(workspace / "train_raw")
+    main(["train-raw", "--data-dir", raw, "--out-dir", out, "--channels", "2",
+          "--cut-shot", "0.1", "--epochs", "1", "--quiet"])
+    rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"]) and rec["channels"] == 4
+    assert os.path.exists(os.path.join(out, "model"))
