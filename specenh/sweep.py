@@ -277,8 +277,22 @@ def sweep_fit(
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    v_step = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None)))
+    v_step = jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None))
     v_loss = jax.jit(jax.vmap(one_loss, in_axes=(0, 0, None, None, None)))
+
+    @jax.jit
+    def sweep_epoch(p, o, m, xs, ys, batch_idx, batch_mask):
+        """One epoch for ALL configs as a single lax.scan device program
+        (one dispatch per epoch; see train.train_epoch)."""
+
+        def body(carry, args):
+            pp, oo = carry
+            idx, w = args
+            pp, oo, loss = v_step(pp, oo, m, xs[idx], ys[idx], w)
+            return (pp, oo), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), (batch_idx, batch_mask))
+        return p, o, losses
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -299,25 +313,18 @@ def sweep_fit(
     y_val = jnp.asarray(y_val, jnp.float32)
     rng = np.random.default_rng(train_cfg.seed)
 
+    from specenh.train import _epoch_batches
+
     tr_hist, va_hist = [], []
     for epoch in range(epochs):
         perm = rng.permutation(n) if train_cfg.shuffle else np.arange(n)
-        losses, weights = [], []
-        for i in range(0, n, bs):
-            idx = perm[i : i + bs]
-            w = np.ones(len(idx), np.float32)
-            if len(idx) < bs:
-                pad = bs - len(idx)
-                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                w = np.concatenate([w, np.zeros(pad, np.float32)])
-            params, opt_state, loss = v_step(
-                params, opt_state, masks,
-                x_train[jnp.asarray(idx)], y_train[jnp.asarray(idx)], jnp.asarray(w),
-            )
-            losses.append(loss)
-            weights.append(w.sum())
+        batch_idx, batch_mask = _epoch_batches(n, bs, perm)
+        params, opt_state, losses = sweep_epoch(
+            params, opt_state, masks, x_train, y_train,
+            jnp.asarray(batch_idx), jnp.asarray(batch_mask),
+        )
         losses = np.asarray(jax.device_get(losses))  # (n_batches, n_cfg)
-        weights = np.asarray(weights)[:, None]
+        weights = batch_mask.sum(axis=1)[:, None]
         tr_hist.append((losses * weights).sum(0) / weights.sum())
         # batched validation (one unbatched call over n_configs x full val
         # set would OOM on realistic sweeps)
