@@ -311,6 +311,32 @@ def cmd_denoise(args):
     print(json.dumps({"shot": shot, "channel": args.channel}))
 
 
+def cmd_import_keras(args):
+    """Convert a reference Keras SavedModel/keras file (e.g. the repo's
+    missing VAE/best_model artifact) into a specenh orbax model dir."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    from tensorflow import keras
+
+    from specenh.models.keras_import import (
+        model_config_from_keras_weights,
+        params_from_keras_weights,
+    )
+    from specenh.train import create_state, save_model
+    from specenh.config import TrainConfig
+
+    km = keras.models.load_model(args.saved_model, compile=False)
+    weights = km.get_weights()
+    cfg = model_config_from_keras_weights(weights, input_shape=(256, 128, 1))
+    params = params_from_keras_weights(weights, cfg)
+    state = create_state(cfg, TrainConfig()).replace(params=params)
+    save_model(state, os.path.join(args.out_dir, "model"), cfg)
+    print(json.dumps({
+        "filters": list(cfg.filters),
+        "kernels": [list(k) for k in cfg.kernels],
+        "out": os.path.join(args.out_dir, "model"),
+    }))
+
+
 def cmd_bench(args):
     import bench
 
@@ -431,6 +457,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--shot", default=None)
     d.add_argument("--channel", type=int, default=1)
     d.set_defaults(fn=cmd_denoise)
+
+    ik = sub.add_parser("import-keras", help="reference Keras model -> specenh model dir")
+    ik.add_argument("--saved-model", required=True)
+    ik.add_argument("--out-dir", required=True)
+    ik.set_defaults(fn=cmd_import_keras)
 
     be = sub.add_parser("bench", help="spectrograms/sec/chip benchmark")
     be.set_defaults(fn=cmd_bench)
