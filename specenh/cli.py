@@ -482,7 +482,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        raise SystemExit(f"specenh {args.cmd}: file not found: {e}") from e
+    except OSError as e:
+        # h5py raises OSError for missing/corrupt dataset files
+        raise SystemExit(f"specenh {args.cmd}: {e}") from e
 
 
 if __name__ == "__main__":
