@@ -132,6 +132,7 @@ def cmd_train(args):
         train_cfg,
         metrics_path=os.path.join(args.out_dir, "metrics.jsonl"),
         checkpoint_dir=os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None,
+        resume=args.resume,
         verbose=not args.quiet,
     )
     save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
@@ -424,6 +425,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bench-shot", default="176053")
     t.add_argument("--checkpoints", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="continue from the latest epoch checkpoint")
     t.add_argument("--quiet", action="store_true")
     t.set_defaults(fn=cmd_train)
 

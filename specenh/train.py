@@ -39,9 +39,12 @@ __all__ = [
     "create_state",
     "bce_from_logits",
     "train_step",
+    "train_epoch",
     "eval_loss",
     "fit",
     "predict",
+    "restore_checkpoint",
+    "latest_checkpoint_epoch",
 ]
 
 
@@ -145,6 +148,31 @@ def _epoch_batches(n: int, bs: int, perm: np.ndarray):
     return np.stack(idxs).astype(np.int32), np.stack(masks)
 
 
+def latest_checkpoint_epoch(checkpoint_dir: str) -> Optional[int]:
+    """Highest epoch_NNNN under ``checkpoint_dir``, or None."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    epochs = [
+        int(d.split("_")[1])
+        for d in os.listdir(checkpoint_dir)
+        if d.startswith("epoch_") and d.split("_")[1].isdigit()
+    ]
+    return max(epochs) if epochs else None
+
+
+def restore_checkpoint(state: TrainState, checkpoint_dir: str, epoch: int) -> TrainState:
+    """Restore params + optimizer state saved by ``fit``'s per-epoch
+    checkpointing (the resume the reference never had, SURVEY.md section 5)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(checkpoint_dir), f"epoch_{epoch:04d}"),
+        {"params": state.params, "opt_state": state.opt_state},
+    )
+    return state.replace(params=restored["params"], opt_state=restored["opt_state"])
+
+
 def fit(
     state: TrainState,
     x_train: jax.Array,
@@ -155,10 +183,16 @@ def fit(
     epochs: Optional[int] = None,
     metrics_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     verbose: bool = False,
 ) -> tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent.  Returns (final_state, history) with history
-    keys 'loss' and 'val_loss' (per-epoch means, as Keras reports)."""
+    keys 'loss' and 'val_loss' (per-epoch means, as Keras reports).
+
+    With ``checkpoint_dir`` set and ``resume=True``, training continues
+    from the latest saved epoch (params + optimizer state restored; the
+    per-epoch shuffle streams are replayed so the batch order matches an
+    uninterrupted run)."""
     epochs = cfg.epochs if epochs is None else epochs
     n = x_train.shape[0]
     bs = min(cfg.batch_size, n)
@@ -174,7 +208,19 @@ def fit(
         ckptr = ocp.StandardCheckpointer()
         checkpoint_dir = os.path.abspath(checkpoint_dir)
 
-    for epoch in range(epochs):
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        last = latest_checkpoint_epoch(checkpoint_dir)
+        if last is not None:
+            state = restore_checkpoint(state, checkpoint_dir, last)
+            start_epoch = last + 1
+            for _ in range(start_epoch):  # replay shuffle stream
+                if cfg.shuffle:
+                    rng.permutation(n)
+            if verbose:
+                print(f"resumed from epoch {last}")
+
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         perm = rng.permutation(n) if cfg.shuffle else np.arange(n)
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)

@@ -161,3 +161,28 @@ class TestKerasImport:
         params = params_from_keras_weights(km.get_weights(), cfg)
         got = np.asarray(make_model(cfg).apply(params, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Crash after epoch 2, resume, finish — final params must equal an
+    uninterrupted 4-epoch run (optimizer state + shuffle stream restored)."""
+    from specenh.train import fit
+
+    rng = np.random.default_rng(9)
+    x = rng.random((24, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=5)
+
+    full, _ = fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=4)
+
+    ck = str(tmp_path / "ck")
+    part, _ = fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=2, checkpoint_dir=ck)
+    resumed, hist = fit(
+        create_state(SMALL, tc), x, y, cfg=tc, epochs=4,
+        checkpoint_dir=ck, resume=True,
+    )
+    assert len(hist["loss"]) == 2  # only epochs 2..3 were run
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.params), jax.tree_util.tree_leaves(resumed.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
