@@ -344,6 +344,28 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_serve(args):
+    """Watch a directory of SPEC .bin shots; enhance + persist each."""
+    from specenh.config import ModelConfig
+    from specenh.serve import EnhanceService, serve_forever
+
+    cfg = _cfg_from_args(args)
+    params = None
+    model_cfg = MODEL_PRESETS[args.model]
+    if args.model_dir:
+        from specenh.train import load_model
+
+        state, model_cfg = load_model(args.model_dir)
+        params = state.params
+    service = EnhanceService(cfg, model_cfg, params, n_channels=args.channels)
+    totals = serve_forever(
+        service, args.watch_dir, args.out,
+        poll_s=args.poll, max_shots=args.max_shots, once=args.once,
+        verbose=not args.quiet,
+    )
+    print(json.dumps(totals))
+
+
 def cmd_movie(args):
     import jax.numpy as jnp
 
@@ -468,6 +490,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="spectrograms/sec/chip benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("serve", help="watch-dir enhancement service")
+    sv.add_argument("--watch-dir", required=True)
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--model", choices=sorted(MODEL_PRESETS), default="scan_k3")
+    sv.add_argument("--model-dir", default=None,
+                    help="trained model dir (overrides --model preset)")
+    sv.add_argument("--channels", type=int, default=20)
+    sv.add_argument("--cut-shot", type=float, default=None)
+    sv.add_argument("--poll", type=float, default=1.0)
+    sv.add_argument("--max-shots", type=int, default=None)
+    sv.add_argument("--once", action="store_true",
+                    help="drain the current backlog and exit")
+    sv.add_argument("--quiet", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("movie", help="frame dump + mp4 render")
     m.add_argument("--dataset", required=True)

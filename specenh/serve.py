@@ -1,0 +1,149 @@
+"""Shot-enhancement service: watch a directory, enhance, persist, report.
+
+The deployment shape implied by the reference's workflow (BASELINE.json
+'full-campaign streaming'): new raw shots appear (SPEC binaries from the
+digitizer pipeline), each is pushed through the fused
+STFT -> conv-AE -> restitch service on the TPU, and enhanced spectrograms
+are persisted with per-shot latency metrics.
+
+Design: one resident jitted service function (compiled once), a directory
+poller with a processed-ledger (idempotent across restarts, like the
+campaign manifest), quarantine for corrupt shots, and JSONL latency
+metrics.  ``serve_once`` processes the current backlog and returns; the
+CLI's ``specenh serve`` loops with a poll interval until interrupted or
+``--max-shots`` is reached.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from specenh.config import Config, ModelConfig
+from specenh.bench.harness import make_enhance_shot_fn
+from specenh.io.native import read_shot
+from specenh.io.shots import shot_number_from_path
+from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.ops.stft import spectrogram_freqs, spectrogram_times
+from specenh.utils.logging import MetricsLogger
+
+__all__ = ["EnhanceService", "serve_once", "serve_forever"]
+
+
+class EnhanceService:
+    """Resident enhancement service: compile once, serve many."""
+
+    def __init__(
+        self,
+        cfg: Config = Config(),
+        model_cfg: ModelConfig = ModelConfig(),
+        params=None,
+        n_channels: int = 20,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.n_channels = n_channels
+        self.fn = make_enhance_shot_fn(model_cfg, cfg.spec, cfg.patch, mesh=mesh)
+        if params is None:
+            from specenh.models.autoencoder import make_model
+
+            params = make_model(model_cfg).init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, *model_cfg.input_shape), np.float32),
+            )
+        self.params = params
+        self._f = spectrogram_freqs(cfg.spec)
+        self._t = spectrogram_times(cfg.spec)
+
+    def warmup(self):
+        traces = np.zeros((self.n_channels, self.cfg.spec.n_samples), np.float32)
+        specs, enhanced = self.fn(self.params, traces)
+        np.asarray(enhanced.ravel()[:1])
+
+    def enhance(self, traces: np.ndarray):
+        """(C, n_samples) -> (specs, enhanced) as numpy (host)."""
+        specs, enhanced = self.fn(self.params, traces)
+        return np.asarray(specs), np.asarray(enhanced)
+
+
+def serve_once(
+    service: EnhanceService,
+    watch_dir: str,
+    store: SpectrogramStore,
+    manifest: CampaignManifest,
+    metrics: Optional[MetricsLogger] = None,
+    verbose: bool = True,
+) -> dict:
+    """Process the current backlog of *.bin shots.  Returns counts."""
+    done = failed = 0
+    for path in sorted(glob.glob(os.path.join(watch_dir, "*.bin"))):
+        shot = shot_number_from_path(path)
+        if manifest.is_done(shot):
+            continue
+        t0 = time.perf_counter()
+        try:
+            traces = read_shot(path, service.n_channels, service.cfg.spec.n_samples)
+        except Exception as e:
+            manifest.mark_failed(shot, str(e))
+            failed += 1
+            if verbose:
+                print(f"quarantined {shot}: {e}")
+            continue
+        specs, enhanced = service.enhance(traces)
+        for i in range(specs.shape[0]):
+            store.write_channel(
+                shot, i + 1, specs[i], service._f, service._t, enhanced[i],
+                prefix="enhanced",
+            )
+        store.flush()
+        manifest.mark_done(shot)
+        latency = time.perf_counter() - t0
+        done += 1
+        if metrics:
+            metrics.log("shot_enhanced", shot=shot, channels=int(specs.shape[0]),
+                        latency_s=latency)
+        if verbose:
+            print(f"shot {shot}: {specs.shape[0]} channels in {latency:.2f}s")
+    return {"done": done, "failed": failed}
+
+
+def serve_forever(
+    service: EnhanceService,
+    watch_dir: str,
+    out_store: str,
+    poll_s: float = 1.0,
+    max_shots: Optional[int] = None,
+    once: bool = False,
+    verbose: bool = True,
+) -> dict:
+    """Poll ``watch_dir`` until ``max_shots`` NEW shots processed (or
+    forever).  ``once=True`` drains the current backlog and returns — use
+    for scripted runs; without it a restart against a fully-processed
+    directory keeps waiting for new shots (daemon semantics)."""
+    manifest = CampaignManifest(out_store + ".serve.jsonl")
+    totals = {"done": 0, "failed": 0}
+    if not once:
+        # daemon mode: pre-pay the compile before shots arrive; in drain
+        # mode the first shot pays it (same total, nothing wasted when the
+        # backlog is already empty)
+        service.warmup()
+    with SpectrogramStore(out_store) as store, MetricsLogger(
+        out_store + ".metrics.jsonl"
+    ) as metrics:
+        while True:
+            r = serve_once(service, watch_dir, store, manifest, metrics, verbose)
+            totals["done"] += r["done"]
+            totals["failed"] += r["failed"]
+            if once:
+                break
+            if max_shots is not None and totals["done"] + totals["failed"] >= max_shots:
+                break
+            time.sleep(poll_s)
+    manifest.close()
+    return totals

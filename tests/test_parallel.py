@@ -138,7 +138,7 @@ def test_multichip_serving_matches_single(mesh8):
     from specenh.bench.harness import make_enhance_shot_fn
     from specenh.models.autoencoder import make_model
 
-    sp = SpecParams(cut_shot=0.05)
+    sp = SpecParams(cut_shot=0.1)  # >= one 128-frame tile
     cfg = ModelConfig()
     params = make_model(cfg).init(jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32))
     rng = np.random.default_rng(12)

@@ -1,0 +1,70 @@
+"""Tests for the enhancement service (specenh.serve): backlog processing,
+idempotent restarts, quarantine."""
+
+import numpy as np
+
+from specenh.config import Config, ModelConfig, SpecParams
+from specenh.io.binfmt import write_shot_bin
+from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.serve import EnhanceService, serve_once
+from specenh.utils.metrics import ssim
+
+
+def _setup(tmp_path, n_shots=2, c=2):
+    cfg = Config(spec=SpecParams(cut_shot=0.1))
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.default_rng(0)
+    for s in range(n_shots):
+        write_shot_bin(
+            str(watch / f"shot_{100 + s}.bin"),
+            rng.standard_normal((c, cfg.spec.n_samples)).astype(np.float32),
+        )
+    return cfg, str(watch)
+
+
+def test_serve_processes_backlog_and_is_idempotent(tmp_path):
+    cfg, watch = _setup(tmp_path)
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with SpectrogramStore(out) as store:
+        r1 = serve_once(service, watch, store, manifest, verbose=False)
+        r2 = serve_once(service, watch, store, manifest, verbose=False)
+    assert r1 == {"done": 2, "failed": 0}
+    assert r2 == {"done": 0, "failed": 0}  # ledger makes restarts idempotent
+    manifest.close()
+    with SpectrogramStore(out, "r") as store:
+        assert sorted(store.shots()) == ["enhanced_100", "enhanced_101"]
+        d = store.read_channel("enhanced_100", 1)
+        assert d["spec"].shape[0] == 256
+        assert 0.0 <= d["pipeline_out"].min() and d["pipeline_out"].max() <= 1.0
+
+
+def test_serve_quarantines_corrupt(tmp_path):
+    cfg, watch = _setup(tmp_path, n_shots=1)
+    (tmp_path / "in" / "shot_999.bin").write_bytes(b"garbage")
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with SpectrogramStore(out) as store:
+        r = serve_once(service, watch, store, manifest, verbose=False)
+    assert r == {"done": 1, "failed": 1}
+    manifest.close()
+
+
+def test_service_spectrogram_is_golden(tmp_path):
+    """The service's spectrogram output (bf16x3 STFT path) must stay at
+    SSIM >= 0.999 vs the CPU reference recipe."""
+    from specenh.bench.reference_cpu import spectrogram_ref
+
+    cfg = Config(spec=SpecParams(cut_shot=0.1))
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=1)
+    rng = np.random.default_rng(1)
+    traces = rng.standard_normal((1, cfg.spec.n_samples)).astype(np.float32)
+    specs, _ = service.enhance(traces)
+    golden, _, _ = spectrogram_ref(traces[0], cfg.spec)
+    assert ssim(specs[0], golden) > 0.999
