@@ -1,135 +1,12 @@
 #!/usr/bin/env python3
-"""Headline benchmark: spectrograms/sec/chip for the full enhancement
-service (raw 20-channel shot -> STFT -> conv-AE denoise -> restitched
-spectrograms), measured on the attached TPU chip and compared against the
-reference's CPU recipe (SciPy spectrogram + Keras predict,
-VAE/hyperparam_scan.py:214-244).
+"""Driver entry point: delegates to specenh.bench.headline (one JSON line)."""
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-The CPU baseline is measured once and cached (it does not change between
-rounds); pass --recompute-baseline to refresh it.
-"""
-
-import json
 import os
 import sys
-import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline_cpu.json")
-
-
-def measure_tpu(n_channels: int = 20) -> float:
-    """Spectrograms (channels) per second on one chip, steady-state.
-
-    Self-checking: the measured path's spectrogram is validated against the
-    CPU reference recipe at SSIM >= 0.99 (the BASELINE.md quality gate) —
-    a fast-but-wrong kernel fails the bench instead of reporting a number.
-    """
-    import jax
-
-    from specenh.bench.harness import example_shot, make_enhance_shot_fn, time_fn
-    from specenh.bench.reference_cpu import spectrogram_ref
-    from specenh.config import ModelConfig, SpecParams
-    from specenh.models.autoencoder import make_model
-    from specenh.utils.metrics import ssim
-
-    sp = SpecParams()
-    cfg = ModelConfig()  # flagship: depth-2, filters (32,32), k=3
-    host_traces = example_shot(sp, n_channels)
-    traces = jax.device_put(host_traces)
-    model = make_model(cfg)
-    params = model.init(jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32))
-    fn = make_enhance_shot_fn(cfg, sp)
-
-    specs, _ = fn(params, traces)
-    golden, _, _ = spectrogram_ref(host_traces[0], sp)
-    quality = ssim(np.asarray(specs[0]), golden)
-    if quality < 0.99:
-        raise SystemExit(f"quality gate failed: spectrogram SSIM {quality:.4f} < 0.99")
-    print(f"# spectrogram SSIM vs CPU reference: {quality:.6f}", file=sys.stderr)
-
-    sec = time_fn(fn, params, traces, iters=20, warmup=3)
-    return n_channels / sec
-
-
-def measure_cpu_baseline(n_channels: int = 4) -> float:
-    """Reference CPU recipe: scipy.signal.spectrogram + Keras predict on
-    patched tiles, per channel (hyperparam_scan.py:217-236 path)."""
-    from specenh.bench.reference_cpu import spectrogram_ref
-    from specenh.config import SpecParams
-
-    sp = SpecParams()
-    rng = np.random.default_rng(0)
-    t = np.arange(sp.n_samples) / sp.fs
-    traces = [
-        (np.sin(2 * np.pi * (5e4 + 2e4 * t) * t + k) + 0.5 * rng.standard_normal(t.size)).astype(
-            np.float32
-        )
-        for k in range(n_channels)
-    ]
-
-    model = None
-    try:
-        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-        import tensorflow as tf
-
-        from tensorflow.keras import layers
-        from tensorflow.keras.models import Model
-
-        inp = layers.Input(shape=(256, 128, 1))
-        x = layers.Conv2D(32, (3, 3), activation="relu", padding="same")(inp)
-        x = layers.MaxPooling2D((2, 2), padding="same")(x)
-        x = layers.Conv2D(32, (3, 3), activation="relu", padding="same")(x)
-        x = layers.MaxPooling2D((2, 2), padding="same")(x)
-        x = layers.Conv2DTranspose(32, (3, 3), strides=2, activation="relu", padding="same")(x)
-        x = layers.Conv2DTranspose(32, (3, 3), strides=2, activation="relu", padding="same")(x)
-        x = layers.Conv2D(1, (3, 3), activation="sigmoid", padding="same")(x)
-        model = Model(inp, x)
-    except Exception as e:  # pragma: no cover
-        print(f"# keras unavailable ({e}); CPU baseline = STFT only", file=sys.stderr)
-
-    def one_channel(sig):
-        s, _, _ = spectrogram_ref(sig, sp)
-        tiles = np.stack([s[:, i * 128 : (i + 1) * 128] for i in range(30)])[..., None]
-        if model is not None:
-            model.predict(tiles, verbose=0)
-
-    one_channel(traces[0])  # warm-up (TF graph build)
-    t0 = time.perf_counter()
-    for sig in traces:
-        one_channel(sig)
-    sec_per_channel = (time.perf_counter() - t0) / n_channels
-    return 1.0 / sec_per_channel
-
-
-def get_cpu_baseline(recompute: bool = False) -> float:
-    if not recompute and os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as fh:
-            return json.load(fh)["spectrograms_per_sec_cpu"]
-    val = measure_cpu_baseline()
-    with open(BASELINE_CACHE, "w") as fh:
-        json.dump({"spectrograms_per_sec_cpu": val, "measured_at": time.time()}, fh)
-    return val
-
-
-def main():
-    recompute = "--recompute-baseline" in sys.argv
-    cpu = get_cpu_baseline(recompute)
-    tpu = measure_tpu()
-    print(
-        json.dumps(
-            {
-                "metric": "spectrograms/sec/chip (STFT + conv-AE denoise, full 2s shot)",
-                "value": round(tpu, 2),
-                "unit": "spectrograms/s",
-                "vs_baseline": round(tpu / cpu, 2),
-            }
-        )
-    )
-
+from specenh.bench.headline import main
 
 if __name__ == "__main__":
     main()

@@ -136,6 +136,11 @@ def cmd_train(args):
         verbose=not args.quiet,
     )
     save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
+    if not hist["val_loss"]:
+        # resumed a fully-finished run: nothing new to report
+        print(json.dumps({"resumed": "already complete"}))
+        store.close()
+        return
 
     # predictions + display artifact (hyperparam_scan.py:194-205)
     preds = np.squeeze(np.asarray(predict(state, jnp.asarray(splits.x_test))), -1)
@@ -339,14 +344,15 @@ def cmd_import_keras(args):
 
 
 def cmd_bench(args):
-    import bench
+    from specenh.bench.headline import main as bench_main
 
-    bench.main()
+    bench_main()
 
 
 def cmd_serve(args):
     """Watch a directory of SPEC .bin shots; enhance + persist each."""
-    from specenh.config import ModelConfig
+    import sys as _sys
+
     from specenh.serve import EnhanceService, serve_forever
 
     cfg = _cfg_from_args(args)
@@ -357,6 +363,13 @@ def cmd_serve(args):
 
         state, model_cfg = load_model(args.model_dir)
         params = state.params
+    else:
+        print(
+            "WARNING: no --model-dir given — serving an UNTRAINED "
+            f"randomly-initialised '{args.model}' model; outputs are not "
+            "meaningful denoisings",
+            file=_sys.stderr,
+        )
     service = EnhanceService(cfg, model_cfg, params, n_channels=args.channels)
     totals = serve_forever(
         service, args.watch_dir, args.out,

@@ -124,7 +124,7 @@ class CampaignManifest:
                     if rec["status"] == "done":
                         self._done.add(key)
                     else:
-                        self._failed[str(key)] = rec.get("error", "")
+                        self._failed[key] = rec.get("error", "")
         self._fh = open(path, "a")
 
     def is_done(self, shot: str, chn: Optional[int] = None) -> bool:
@@ -136,7 +136,7 @@ class CampaignManifest:
         self._fh.flush()
 
     def mark_failed(self, shot: str, error: str, chn: Optional[int] = None):
-        self._failed[str((shot, chn))] = error
+        self._failed[(shot, chn)] = error
         self._fh.write(
             json.dumps({"shot": shot, "chn": chn, "status": "failed", "error": error})
             + "\n"
@@ -144,8 +144,14 @@ class CampaignManifest:
         self._fh.flush()
 
     @property
-    def failed(self) -> Dict[str, str]:
+    def failed(self) -> Dict[tuple, str]:
+        """(shot, chn) -> error message for every recorded failure."""
         return dict(self._failed)
+
+    @property
+    def failed_shots(self) -> set:
+        """Shot ids with any recorded failure (for skip-once quarantine)."""
+        return {shot for shot, _ in self._failed}
 
     def close(self):
         self._fh.close()

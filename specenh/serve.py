@@ -17,7 +17,6 @@ CLI's ``specenh serve`` loops with a poll interval until interrupted or
 from __future__ import annotations
 
 import glob
-import json
 import os
 import time
 from typing import Optional
@@ -78,13 +77,20 @@ def serve_once(
     store: SpectrogramStore,
     manifest: CampaignManifest,
     metrics: Optional[MetricsLogger] = None,
+    max_new: Optional[int] = None,
     verbose: bool = True,
 ) -> dict:
-    """Process the current backlog of *.bin shots.  Returns counts."""
+    """Process the current backlog of *.bin shots (at most ``max_new``).
+
+    Shots recorded done OR failed in the manifest are skipped — a corrupt
+    shot is quarantined exactly once across polls and restarts (delete the
+    ledger line or file to force a retry).  Returns counts."""
     done = failed = 0
     for path in sorted(glob.glob(os.path.join(watch_dir, "*.bin"))):
-        shot = shot_number_from_path(path)
-        if manifest.is_done(shot):
+        if max_new is not None and done + failed >= max_new:
+            break
+        shot = shot_number_from_path(os.path.basename(path))
+        if manifest.is_done(shot) or shot in manifest.failed_shots:
             continue
         t0 = time.perf_counter()
         try:
@@ -133,17 +139,29 @@ def serve_forever(
         # mode the first shot pays it (same total, nothing wasted when the
         # backlog is already empty)
         service.warmup()
-    with SpectrogramStore(out_store) as store, MetricsLogger(
-        out_store + ".metrics.jsonl"
-    ) as metrics:
-        while True:
-            r = serve_once(service, watch_dir, store, manifest, metrics, verbose)
-            totals["done"] += r["done"]
-            totals["failed"] += r["failed"]
-            if once:
-                break
-            if max_shots is not None and totals["done"] + totals["failed"] >= max_shots:
-                break
-            time.sleep(poll_s)
-    manifest.close()
+    try:
+        with SpectrogramStore(out_store) as store, MetricsLogger(
+            out_store + ".metrics.jsonl"
+        ) as metrics:
+            while True:
+                remaining = (
+                    None if max_shots is None
+                    else max_shots - totals["done"] - totals["failed"]
+                )
+                r = serve_once(
+                    service, watch_dir, store, manifest, metrics,
+                    max_new=remaining, verbose=verbose,
+                )
+                totals["done"] += r["done"]
+                totals["failed"] += r["failed"]
+                if once:
+                    break
+                if max_shots is not None and totals["done"] + totals["failed"] >= max_shots:
+                    break
+                time.sleep(poll_s)
+    except KeyboardInterrupt:
+        if verbose:
+            print("interrupted; shutting down cleanly")
+    finally:
+        manifest.close()
     return totals
