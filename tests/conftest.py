@@ -8,6 +8,9 @@ comparisons vs SciPy/OpenCV are deterministic.
 
 import os
 
+# keep unit-test compiles out of the persistent compile cache
+os.environ.setdefault("SPECENH_NO_COMPILE_CACHE", "1")
+
 # NOTE: the JAX_PLATFORMS env var is IGNORED by this machine's 'axon' TPU
 # plugin — jax.config.update('jax_platforms', ...) is the reliable override.
 flags = os.environ.get("XLA_FLAGS", "")

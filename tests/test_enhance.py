@@ -137,3 +137,30 @@ def test_bilateral_close_to_cv2(img):
     want = ref.rescale_ref(cv2.bilateralFilter(u8, 15, 75, 75))
     got = np.asarray(enhance.bilateral(jnp.asarray(img, jnp.float32)))
     assert ssim(got, want) > 0.98
+
+
+def test_known_transient_mode_survives_enhancement():
+    """SURVEY.md section 4's end-to-end anchor: a known TRANSIENT mode in a
+    noisy synthetic shot must survive the full classical pipeline with
+    contrast over the background.  (A constant tone would be *removed* —
+    the pipeline's mean-subtract stages suppress steady structure by
+    design; the physics targets are transient Alfven eigenmodes.)"""
+    import jax.numpy as jnp
+
+    from specenh.config import SpecParams
+    from specenh.ops.stft import spectrogram
+
+    sp = SpecParams(cut_shot=0.2)
+    rng = np.random.default_rng(42)
+    n = sp.n_samples
+    t = np.arange(n) / sp.fs
+    gate = (t > 0.08) & (t < 0.12)  # mode burst in the middle of the shot
+    x = np.sin(2 * np.pi * 1.2e5 * t) * gate + 1.0 * rng.standard_normal(n)
+    spec = spectrogram(jnp.asarray(x, jnp.float32), sp)
+    out = np.asarray(enhance.classical_pipeline(spec))
+    line_bin = int(round(1.2e5 / (sp.fs / sp.nperseg)))
+    times = np.arange(out.shape[1]) * sp.hop / sp.fs
+    on = (times > 0.085) & (times < 0.115)
+    burst = out[line_bin - 1 : line_bin + 2][:, on].mean()
+    background = np.delete(out, range(line_bin - 5, line_bin + 6), axis=0).mean()
+    assert burst > 3 * background, (burst, background)
