@@ -317,6 +317,59 @@ def cmd_denoise(args):
     print(json.dumps({"shot": shot, "channel": args.channel}))
 
 
+def cmd_crosspower(args):
+    """Cross-power spectrogram of two chord signals
+    (interferometer/crosspowerspec.py workflow).  Signals from .npy files
+    or the site HDF5 layout (--base-dir/--fid-file/--shot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from matplotlib import gridspec
+
+    from specenh.ops.crosspower import ae_co2
+
+    if args.signal1 and args.signal2:
+        sig1 = np.load(args.signal1)
+        sig2 = np.load(args.signal2)
+        t = (
+            np.load(args.time)
+            if args.time
+            else np.arange(len(sig1)) / args.fs
+        )
+    else:
+        from specenh.io.shots import load_time_series_tensor, lookup_fid
+
+        fid = lookup_fid(args.fid_file, int(args.shot))
+        sig1, _, _ = load_time_series_tensor(args.base_dir, fid, "v1", "v3")
+        _, sig2, shots = load_time_series_tensor(args.base_dir, fid, "v2", "r0")
+        i = int(np.abs(shots - int(args.shot)).argmin())
+        sig1, sig2 = sig1[i], sig2[i]
+        import h5py
+
+        with h5py.File(os.path.join(args.base_dir, "tsignal.h5"), "r") as fh:
+            t = fh["time"][()]
+
+    ampsp, freq, time_ms = ae_co2(
+        jnp.asarray(sig1, jnp.float32), jnp.asarray(sig2, jnp.float32), t,
+        nperseg=args.nperseg,
+    )
+    ampsp = np.asarray(ampsp)
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, "ampsp.npy"), ampsp)
+    fig = plt.figure(figsize=(8, 4), dpi=100)
+    gs = gridspec.GridSpec(2, 1)
+    ax = plt.subplot(gs[:])
+    ax.imshow(np.log(ampsp).T, origin="lower", cmap="hot", aspect="auto",
+              extent=[time_ms.min(), time_ms.max(), freq.min(), freq.max()])
+    plt.ylabel("Frequency [kHz]")
+    plt.xlabel("Time [ms]")
+    out = os.path.join(args.out_dir, "crosspower.png")
+    fig.savefig(out)
+    print(json.dumps({"ampsp": list(ampsp.shape), "plot": out}))
+
+
 def cmd_import_keras(args):
     """Convert a reference Keras SavedModel/keras file (e.g. the repo's
     missing VAE/best_model artifact) into a specenh orbax model dir."""
@@ -495,6 +548,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--shot", default=None)
     d.add_argument("--channel", type=int, default=1)
     d.set_defaults(fn=cmd_denoise)
+
+    cp = sub.add_parser("crosspower", help="two-chord cross-power spectrogram")
+    cp.add_argument("--signal1", default=None, help=".npy chord signal 1")
+    cp.add_argument("--signal2", default=None, help=".npy chord signal 2")
+    cp.add_argument("--time", default=None, help=".npy time base (seconds)")
+    cp.add_argument("--fs", type=float, default=1.667e6)
+    cp.add_argument("--base-dir", default=None, help="site HDF5 layout root")
+    cp.add_argument("--fid-file", default=None)
+    cp.add_argument("--shot", default=None)
+    cp.add_argument("--nperseg", type=int, default=1024)
+    cp.add_argument("--out-dir", required=True)
+    cp.set_defaults(fn=cmd_crosspower)
 
     ik = sub.add_parser("import-keras", help="reference Keras model -> specenh model dir")
     ik.add_argument("--saved-model", required=True)
