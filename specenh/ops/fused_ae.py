@@ -56,24 +56,25 @@ __all__ = ["FusedAEPlan", "build_plan", "fused_ae_apply"]
 
 
 def _conv_phase_weights(w: np.ndarray) -> np.ndarray:
-    """(k,k,Ci,Co) SAME-conv kernel -> (4*4*Ci, 4*Co) patch matrix.
+    """(k,k,Ci,Co) odd-k SAME-conv kernel -> ((k+1)^2*Ci, 4*Co) patch matrix.
 
-    Patch rows rho,sigma in 0..3 cover input positions 2u-1 .. 2u+2; output
+    With pad r=(k-1)//2, the conv at both phases of base cell u reads rows
+    2u-r .. 2u+r+1 — a (k+1)-window whose index rho equals a+dy; output
     column block (a*2+b)*Co + c is the conv evaluated at (2u+a, 2v+b).
-    Requires k == 3 (the window of a 3x3 conv at both phases fits in 4).
     """
     k, _, ci, co = w.shape
-    if k != 3:
-        raise NotImplementedError("polyphase plan currently supports 3x3 kernels")
-    out = np.zeros((4, 4, ci, 4 * co), w.dtype)
+    if k % 2 == 0:
+        raise NotImplementedError("polyphase plan supports odd kernels")
+    wz = k + 1
+    out = np.zeros((wz, wz, ci, 4 * co), w.dtype)
     for a in range(2):
         for b in range(2):
-            for rho in range(4):
-                for sigma in range(4):
+            for rho in range(wz):
+                for sigma in range(wz):
                     dy, dx = rho - a, sigma - b
-                    if 0 <= dy <= 2 and 0 <= dx <= 2:
+                    if 0 <= dy <= k - 1 and 0 <= dx <= k - 1:
                         out[rho, sigma, :, (a * 2 + b) * co : (a * 2 + b + 1) * co] = w[dy, dx]
-    return out.reshape(4 * 4 * ci, 4 * co)
+    return out.reshape(wz * wz * ci, 4 * co)
 
 
 def _convt_response(kernel: np.ndarray, ci: int, co: int):
@@ -102,66 +103,74 @@ def _convt_response(kernel: np.ndarray, ci: int, co: int):
 
 
 def _convt_phase_weights(kernel: np.ndarray) -> Tuple[np.ndarray, int, int]:
-    """(k,k,Ci,Co) ConvTranspose kernel -> ((2*2*Ci, 4*Co) window matrix,
-    e_lo, f_lo) where the input window for base cell (u,v) is
-    in[u+e_lo : u+e_lo+2, v+f_lo : v+f_lo+2] and column block (a*2+b)*Co is
-    output phase (2u+a, 2v+b).  Valid for k == 3, stride 2 (window 2x2)."""
+    """(k,k,Ci,Co) odd-k stride-2 ConvTranspose kernel ->
+    ((wz*wz*Ci, 4*Co) window matrix, e_lo, wz) where the input window for
+    base cell (u,v) is in[u+e_lo : u+e_lo+wz, v+e_lo : v+e_lo+wz] and
+    column block (a*2+b)*Co is output phase (2u+a, 2v+b).  The window size
+    wz = ceil((k+1)/2) and offsets come from impulse probing, so any
+    padding/flip convention is captured automatically."""
     k, _, ci, co = kernel.shape
-    if k != 3:
-        raise NotImplementedError("polyphase plan currently supports 3x3 kernels")
     resp = _convt_response(kernel, ci, co)
     # offsets delta = a - 2e => e = (a - dy) / 2 for matching parity
     es = sorted({(a - dy) // 2 for (dy, _) in resp for a in range(2) if (a - dy) % 2 == 0})
     fs = sorted({(b - dx) // 2 for (_, dx) in resp for b in range(2) if (b - dx) % 2 == 0})
     e_lo, e_hi = min(es), max(es)
     f_lo, f_hi = min(fs), max(fs)
-    if e_hi - e_lo + 1 > 2 or f_hi - f_lo + 1 > 2:
-        raise NotImplementedError(
-            f"window {(e_hi - e_lo + 1, f_hi - f_lo + 1)} > 2x2 for k={k}"
-        )
-    if f_lo != e_lo:
+    wz = e_hi - e_lo + 1
+    if f_hi - f_lo + 1 != wz or f_lo != e_lo:
         raise NotImplementedError("non-square convT window offsets unsupported")
-    out = np.zeros((2, 2, ci, 4 * co), kernel.dtype)
+    out = np.zeros((wz, wz, ci, 4 * co), kernel.dtype)
     for (dy, dx), block in resp.items():
         for a in range(2):
             for b in range(2):
                 if (a - dy) % 2 or (b - dx) % 2:
                     continue
                 e, f = (a - dy) // 2, (b - dx) // 2
-                assert e_lo <= e <= e_lo + 1 and f_lo <= f <= f_lo + 1, (
+                assert e_lo <= e <= e_hi and f_lo <= f <= f_hi, (
                     "impulse response tap outside derived window"
                 )
                 out[e - e_lo, f - f_lo, :, (a * 2 + b) * co : (a * 2 + b + 1) * co] = block
-    return out.reshape(2 * 2 * ci, 4 * co), e_lo, f_lo
+    return out.reshape(wz * wz * ci, 4 * co), e_lo, wz
 
 
 @dataclasses.dataclass
 class FusedAEPlan:
-    """Device-ready scattered weights for the polyphase executor."""
+    """Device-ready scattered weights for the polyphase executor.
 
-    w1: jax.Array  # (16, 128)
+    Static metadata: k1/k2/k5 are the conv kernel sizes (patch windows are
+    k+1 wide); (e3, wz3)/(e4, wz4) are the convT window offset and size.
+    """
+
+    w1: jax.Array  # ((k1+1)^2 * 1, 128)
     b1: jax.Array  # (128,)
-    w2: jax.Array  # (512, 128)
+    w2: jax.Array  # ((k2+1)^2 * C, 128)
     b2: jax.Array
-    w3: jax.Array  # (128, 128) convT2 window matrix
+    w3: jax.Array  # (wz3^2 * C, 128) convT2 window matrix
     b3: jax.Array
     e3: int  # window start offset
-    w4: jax.Array  # (128, 128) convT1
+    w4: jax.Array  # (wz4^2 * C, 128) convT1
     b4: jax.Array
     e4: int
-    w5: jax.Array  # (512, 4) out conv
+    w5: jax.Array  # ((k5+1)^2 * C, 4) out conv
     b5: jax.Array  # (4,)
+    k1: int = 3
+    k2: int = 3
+    wz3: int = 2
+    wz4: int = 2
+    k5: int = 3
 
 
 def build_plan(params, cfg: ModelConfig = ModelConfig(), dtype=jnp.float32) -> FusedAEPlan:
     """Standard ConvAutoencoder params -> FusedAEPlan.
 
-    Supports the flagship geometry: depth-2, all kernels 3x3, input
-    (256,128,1) (MODEL_PRESETS['scan_k3'] / 'graphs' — the reference's
-    best/most-used config, hyperparam_scan.py:152-165 with kernel (3,3)).
+    Supports every depth-2 reference geometry with odd square kernels
+    (scan_k3/k5/k7, manual, graphs presets).
     """
-    if cfg.depth != 2 or any(k != (3, 3) for k in cfg.kernels) or cfg.out_kernel != (3, 3):
-        raise NotImplementedError("fused plan supports depth-2 3x3 models")
+    if cfg.depth != 2:
+        raise NotImplementedError("fused plan supports depth-2 models")
+    for k in (*cfg.kernels, cfg.out_kernel):
+        if k[0] != k[1] or k[0] % 2 == 0:
+            raise NotImplementedError("fused plan supports odd square kernels")
     p = params["params"]
 
     def rep4(b):  # bias per channel, replicated over the 4 phases
@@ -169,8 +178,8 @@ def build_plan(params, cfg: ModelConfig = ModelConfig(), dtype=jnp.float32) -> F
 
     w1 = _conv_phase_weights(np.asarray(p["enc_conv0"]["kernel"]))
     w2 = _conv_phase_weights(np.asarray(p["enc_conv1"]["kernel"]))
-    w3, e3, _ = _convt_phase_weights(np.asarray(p["dec_deconv1"]["kernel"]))
-    w4, e4, _ = _convt_phase_weights(np.asarray(p["dec_deconv0"]["kernel"]))
+    w3, e3, wz3 = _convt_phase_weights(np.asarray(p["dec_deconv1"]["kernel"]))
+    w4, e4, wz4 = _convt_phase_weights(np.asarray(p["dec_deconv0"]["kernel"]))
     w5 = _conv_phase_weights(np.asarray(p["out_conv"]["kernel"]))
     return FusedAEPlan(
         w1=jnp.asarray(w1, dtype), b1=jnp.asarray(rep4(p["enc_conv0"]["bias"]), dtype),
@@ -180,6 +189,8 @@ def build_plan(params, cfg: ModelConfig = ModelConfig(), dtype=jnp.float32) -> F
         w4=jnp.asarray(w4, dtype), b4=jnp.asarray(rep4(p["dec_deconv0"]["bias"]), dtype),
         e4=e4,
         w5=jnp.asarray(w5, dtype), b5=jnp.asarray(rep4(p["out_conv"]["bias"]), dtype),
+        k1=cfg.kernels[0][0], k2=cfg.kernels[1][0], wz3=wz3, wz4=wz4,
+        k5=cfg.out_kernel[0],
     )
 
 
@@ -188,38 +199,41 @@ def build_plan(params, cfg: ModelConfig = ModelConfig(), dtype=jnp.float32) -> F
 # ---------------------------------------------------------------------------
 
 
-def _patches_2x(x: jax.Array, ci: int) -> jax.Array:
-    """(B,H,W,Ci) -> (B,H/2,W/2, 4*4*Ci): the (4,4,Ci) window
-    x[2u-1:2u+3, 2v-1:2v+3, :] per base cell, zero-padded at borders."""
+def _patches_2x(x: jax.Array, ci: int, k: int = 3) -> jax.Array:
+    """(B,H,W,Ci) -> (B,H/2,W/2, (k+1)^2*Ci): the (k+1,k+1,Ci) window
+    x[2u-r : 2u+r+2, 2v-r : 2v+r+2, :] per base cell (r = (k-1)//2),
+    zero-padded at borders."""
     b, h, w, _ = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    wz = k + 1
+    r = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)))
     rows = []
-    for rho in range(4):
+    for rho in range(wz):
         cols = []
-        for sigma in range(4):
+        for sigma in range(wz):
             cols.append(xp[:, rho : rho + h : 2, sigma : sigma + w : 2, :])
         rows.append(jnp.stack(cols, axis=-2))
-    q = jnp.stack(rows, axis=-3)  # (B, h/2, w/2, 4, 4, Ci)
-    return q.reshape(b, h // 2, w // 2, 16 * ci)
+    q = jnp.stack(rows, axis=-3)  # (B, h/2, w/2, wz, wz, Ci)
+    return q.reshape(b, h // 2, w // 2, wz * wz * ci)
 
 
-def _window_2(x: jax.Array, ci: int, lo: int) -> jax.Array:
-    """(B,H,W,Ci) -> (B,H,W, 2*2*Ci): window x[u+lo : u+lo+2, v+lo : v+lo+2]
-    per cell (for the convT layers), zero-padded."""
+def _window_n(x: jax.Array, ci: int, lo: int, wz: int) -> jax.Array:
+    """(B,H,W,Ci) -> (B,H,W, wz*wz*Ci): window
+    x[u+lo : u+lo+wz, v+lo : v+lo+wz] per cell (convT layers), zero-padded."""
     b, h, w, _ = x.shape
-    pad_lo, pad_hi = max(-lo, 0), max(lo + 1, 0)
+    pad_lo, pad_hi = max(-lo, 0), max(lo + wz - 1, 0)
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
     rows = []
-    for e in range(2):
+    for e in range(wz):
         cols = []
-        for f in range(2):
+        for f in range(wz):
             cols.append(
                 xp[:, pad_lo + lo + e : pad_lo + lo + e + h,
                    pad_lo + lo + f : pad_lo + lo + f + w, :]
             )
         rows.append(jnp.stack(cols, axis=-2))
     q = jnp.stack(rows, axis=-3)
-    return q.reshape(b, h, w, 4 * ci)
+    return q.reshape(b, h, w, wz * wz * ci)
 
 
 def _phases_to_grid(z: jax.Array, co: int) -> jax.Array:
@@ -246,22 +260,22 @@ def fused_ae_apply(plan: FusedAEPlan, x: jax.Array, logits: bool = False) -> jax
     (B,256,128,1) tiles (any H,W divisible by 4)."""
     mm = partial(jnp.matmul, precision=_HI, preferred_element_type=jnp.float32)
     # L1: conv1+relu+pool on the base grid
-    q1 = _patches_2x(x, x.shape[-1])  # (B,128,64,16)
+    q1 = _patches_2x(x, x.shape[-1], plan.k1)
     p1 = _pool_phases(mm(q1, plan.w1) + plan.b1, plan.b1.shape[0] // 4)
     # L2: conv2+relu+pool
-    q2 = _patches_2x(p1, p1.shape[-1])  # (B,64,32,512)
+    q2 = _patches_2x(p1, p1.shape[-1], plan.k2)
     p2 = _pool_phases(mm(q2, plan.w2) + plan.b2, plan.b2.shape[0] // 4)
-    # L3: convT2 + relu -> natural (B,128,64,32)
-    q3 = _window_2(p2, p2.shape[-1], plan.e3)
+    # L3: convT2 + relu -> natural grid
+    q3 = _window_n(p2, p2.shape[-1], plan.e3, plan.wz3)
     d = _phases_to_grid(jax.nn.relu(mm(q3, plan.w3) + plan.b3), plan.b3.shape[0] // 4)
-    # L4: convT1 + relu -> phase form of (B,256,128,32)
-    q4 = _window_2(d, d.shape[-1], plan.e4)
-    e_ph = jax.nn.relu(mm(q4, plan.w4) + plan.b4)  # (B,128,64,128)
-    e = _phases_to_grid(e_ph, plan.b4.shape[0] // 4)  # (B,256,128,32)
+    # L4: convT1 + relu -> phase form
+    q4 = _window_n(d, d.shape[-1], plan.e4, plan.wz4)
+    e_ph = jax.nn.relu(mm(q4, plan.w4) + plan.b4)
+    e = _phases_to_grid(e_ph, plan.b4.shape[0] // 4)
     # L5: out conv (+ sigmoid)
-    q5 = _patches_2x(e, e.shape[-1])  # (B,128,64,512)
-    z5 = mm(q5, plan.w5) + plan.b5  # (B,128,64,4)
-    out = _phases_to_grid(z5, 1)  # (B,256,128,1)
+    q5 = _patches_2x(e, e.shape[-1], plan.k5)
+    z5 = mm(q5, plan.w5) + plan.b5  # (B, H/2, W/2, 4)
+    out = _phases_to_grid(z5, 1)
     return out if logits else jax.nn.sigmoid(out)
 
 
@@ -269,5 +283,5 @@ def fused_ae_apply(plan: FusedAEPlan, x: jax.Array, logits: bool = False) -> jax
 jax.tree_util.register_dataclass(
     FusedAEPlan,
     data_fields=["w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4", "w5", "b5"],
-    meta_fields=["e3", "e4"],
+    meta_fields=["e3", "e4", "k1", "k2", "wz3", "wz4", "k5"],
 )

@@ -72,9 +72,36 @@ def test_border_cells_exact():
     np.testing.assert_allclose(ring_got, ring, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "kernels,out_k",
+    [
+        (((5, 5), (5, 5)), (5, 5)),   # scan_k5
+        (((7, 7), (7, 7)), (7, 7)),   # scan_k7
+        (((5, 5), (3, 3)), (7, 7)),   # mixed odd kernels (manual-style)
+    ],
+)
+def test_polyphase_matches_flax_other_kernels(kernels, out_k):
+    cfg = ModelConfig(filters=(8, 8), kernels=kernels, out_kernel=out_k, input_shape=(64, 32, 1))
+    model = make_model(cfg)
+    params = _random_params(model, cfg, seed=6)
+    plan = build_plan(params, cfg)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 64, 32, 1)), jnp.float32)
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(fused_ae_apply(plan, x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_unsupported_geometry_raises():
-    cfg = ModelConfig(filters=(32, 32), kernels=((5, 5), (5, 5)), out_kernel=(5, 5))
+    cfg = ModelConfig(
+        filters=(8, 8, 8), kernels=((3, 3), (3, 3), (3, 3)), out_kernel=(3, 3)
+    )  # depth-3 unsupported
     model = make_model(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 128, 1)))
     with pytest.raises(NotImplementedError):
         build_plan(params, cfg)
+
+    cfg2 = ModelConfig(filters=(8, 8), kernels=((4, 4), (3, 3)), out_kernel=(3, 3))
+    model2 = make_model(cfg2)
+    params2 = model2.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 128, 1)))
+    with pytest.raises(NotImplementedError):
+        build_plan(params2, cfg2)
