@@ -56,6 +56,7 @@ __all__ = [
     "morph_open",
     "morph",
     "bilateral",
+    "bilateral_u8",
     "classical_pipeline",
     "opencv_gauss_kernel_q88",
 ]
@@ -79,12 +80,78 @@ def normalize(x: jax.Array, axes: Tuple[int, ...] = (-2, -1)) -> jax.Array:
     return (x - mn) / sd
 
 
+# --- double-float (two-float32) helpers for the NumPy-f64-exact quantile ---
+#
+# TPU has no float64; the comparison ``x < quantile(x)`` at exact ties is
+# decided by the last bits of the interpolated quantile, so a plain fp32
+# interpolation flips a small fraction of pixels vs the reference
+# (np.quantile in float64).  Each helper is the classic error-free transform
+# (two_sum / Dekker two_prod): the pair (hi, lo) represents hi+lo exactly,
+# giving ~2^-48 relative accuracy — indistinguishable from float64 for a
+# comparison against float32 data, and EXACT in every representable-tie case.
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_two_sum(a, b):  # requires |a| >= |b| (or a == 0)
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split_f32(a):
+    c = jnp.float32(4097.0) * a  # Veltkamp split, 2^12 + 1 for binary32
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _dd_scale(hi, lo, t: float):
+    """(hi+lo) * t with t a host float64, to double-float accuracy."""
+    t_hi = np.float32(t)
+    t_lo = np.float32(t - float(t_hi))
+    p, e = _two_prod(hi, jnp.float32(t_hi))
+    e = e + (hi * jnp.float32(t_lo) + lo * jnp.float32(t_hi))
+    return _quick_two_sum(p, e)
+
+
 def quantile_filter(x: jax.Array, thr: float = 0.9) -> jax.Array:
     """Zero out values below the per-time-column ``thr``-quantile taken over
     the frequency axis (``quantfilt``, pipeline_data.py:46-49; quantile along
-    axis 0 == our axis -2, with NumPy's linear interpolation)."""
-    q = jnp.quantile(x, thr, axis=-2, keepdims=True, method="linear")
-    return jnp.where(x < q, jnp.zeros((), x.dtype), x)
+    axis 0 == our axis -2, with NumPy's linear interpolation).
+
+    The quantile interpolation and the ``<`` comparison follow NumPy's
+    float64 ``_lerp`` exactly (including its ``t >= 0.5`` rewrite
+    ``b - diff*(1-t)``), emulated in double-float32 — bit-faithful at
+    quantile ties, where a single-float32 quantile misclassifies pixels.
+    """
+    f = x.shape[-2]
+    virtual = (f - 1) * float(thr)
+    k = min(int(np.floor(virtual)), f - 1)
+    gamma = virtual - k  # host-side float64, exact NumPy semantics
+    v = jnp.sort(x, axis=-2)
+    a = jax.lax.slice_in_dim(v, k, k + 1, axis=-2)
+    b = jax.lax.slice_in_dim(v, min(k + 1, f - 1), min(k + 1, f - 1) + 1, axis=-2)
+    d_hi, d_lo = _two_sum(b, -a)  # diff_b_a, exact
+    if gamma >= 0.5:  # NumPy: q = b - diff * (1 - t)
+        p_hi, p_lo = _dd_scale(d_hi, d_lo, 1.0 - gamma)
+        s, e = _two_sum(b, -p_hi)
+        q_hi, q_lo = _two_sum(s, e - p_lo)
+    else:  # NumPy: q = a + diff * t
+        p_hi, p_lo = _dd_scale(d_hi, d_lo, gamma)
+        s, e = _two_sum(a, p_hi)
+        q_hi, q_lo = _two_sum(s, e + p_lo)
+    below = (x < q_hi) | ((x == q_hi) & (q_lo > 0))
+    return jnp.where(below, jnp.zeros((), x.dtype), x)
 
 
 def to_uint8(x: jax.Array) -> jax.Array:
@@ -273,32 +340,68 @@ def morph(
 # ---------------------------------------------------------------------------
 
 
+def _bilateral_taps(d: int, sigma_space: float):
+    """cv2's (offset, space-weight) tap list: circular neighbourhood of
+    radius d//2, weights exp(r^2 * -0.5/ss^2) computed in float64 *via the
+    same sqrt-then-square round trip* cv2 performs, then cast to float32."""
+    radius = d // 2
+    gsc = -0.5 / (sigma_space * sigma_space)
+    taps = []
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            r = np.sqrt(float(i * i + j * j))
+            if r > radius:
+                continue
+            taps.append((i, j, np.float32(np.exp(r * r * gsc))))
+    return radius, taps
+
+
+def bilateral_u8(
+    xu8: jax.Array, d: int = 15, sigma_color: float = 75.0, sigma_space: float = 75.0
+) -> jax.Array:
+    """Bit-exact ``cv2.bilateralFilter(src, d, sigma_color, sigma_space)`` on
+    a uint8-valued image held as float32.
+
+    Reproduces OpenCV's CV_8UC1 path arithmetic exactly (verified against
+    cv2 5.0 on random images): 256-entry float32 range-weight LUT
+    ``exp(i^2 * -0.5/sc^2)`` built in float64 then cast, circular d//2
+    neighbourhood with float32 space weights, BORDER_REFLECT_101, and
+    round-half-to-even of sum/wsum.  cv2's SIMD loop accumulates
+    ``sum += val*w`` with a fused multiply-add (single rounding); TPU/XLA has
+    no f32 FMA primitive, so it is emulated exactly: the product val*w needs
+    only 8+24 = 32 significand bits, so splitting w (Veltkamp) makes the
+    product error term exact, and a two_sum recovers the single-rounded
+    result.  ``wsum += w`` is a plain f32 add, as in cv2.
+    """
+    radius, taps = _bilateral_taps(d, sigma_space)
+    gcc = -0.5 / (sigma_color * sigma_color)
+    color_lut = jnp.asarray(
+        np.exp((np.arange(256, dtype=np.float64) ** 2) * gcc).astype(np.float32)
+    )
+    p = _reflect101_pad(xu8, radius, radius)
+    f_len, t_len = xu8.shape[-2], xu8.shape[-1]
+    idx0 = xu8.astype(jnp.int32)
+    ssum = jnp.zeros_like(xu8)
+    wsum = jnp.zeros_like(xu8)
+    for (i, j, sw) in taps:
+        val = p[..., radius + i : radius + i + f_len, radius + j : radius + j + t_len]
+        w = sw * jnp.take(color_lut, jnp.abs(val.astype(jnp.int32) - idx0))
+        # ssum = fma(val, w, ssum): exact product split + single rounding
+        w_hi, w_lo = _split_f32(w)
+        prod = val * w
+        err = (val * w_hi - prod) + val * w_lo
+        s, t = _two_sum(ssum, prod)
+        ssum = s + (t + err)
+        wsum = wsum + w
+    return jnp.rint(ssum / wsum)
+
+
 def bilateral(
     x: jax.Array, d: int = 15, sigma_color: float = 75.0, sigma_space: float = 75.0
 ) -> jax.Array:
-    """``bilateral``: uint8-quantised cv2.bilateralFilter(d=15, 75, 75) then
-    rescale.  Float re-implementation of the classic bilateral formula
-    (Gaussian space x Gaussian range weights over a d x d neighbourhood,
-    reflect-101 border); cv2's uint8 path differs by quantisation only.
-    """
-    u8 = to_uint8(x)
-    r = d // 2
-    p = _reflect101_pad(u8, r, r)
-    f_len, t_len = x.shape[-2], x.shape[-1]
-    inv2ss = -0.5 / (sigma_space * sigma_space)
-    inv2sc = -0.5 / (sigma_color * sigma_color)
-    num = jnp.zeros_like(u8)
-    den = jnp.zeros_like(u8)
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            if dy * dy + dx * dx > r * r:
-                continue  # cv2 uses a circular neighbourhood of radius d/2
-            sw = np.exp((dy * dy + dx * dx) * inv2ss).astype(np.float32)
-            shifted = p[..., r + dy : r + dy + f_len, r + dx : r + dx + t_len]
-            wgt = sw * jnp.exp((shifted - u8) ** 2 * jnp.float32(inv2sc))
-            num = num + wgt * shifted
-            den = den + wgt
-    return rescale(num / den)
+    """``bilateral`` (dataset.ipynb cell 1): uint8-quantise, bit-exact
+    cv2.bilateralFilter(d=15, 75, 75), then min-max rescale."""
+    return rescale(bilateral_u8(to_uint8(x), d, sigma_color, sigma_space))
 
 
 # ---------------------------------------------------------------------------

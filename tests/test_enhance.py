@@ -41,11 +41,24 @@ def test_normalize(img):
 
 
 def test_quantile_filter(img):
-    got = np.asarray(enhance.quantile_filter(jnp.asarray(img, jnp.float32), 0.9))
-    want = ref.quantfilt_ref(img, 0.9)
-    # fp32 quantile interpolation can flip strict < at exact-tie boundaries
-    mismatches = np.mean(~np.isclose(got, want, atol=1e-5))
-    assert mismatches < 1e-4
+    """Array-exact vs the NumPy-f64 reference: the double-float quantile
+    reproduces np.quantile's _lerp bit-for-bit at the < comparison."""
+    x32 = img.astype(np.float32)
+    got = np.asarray(enhance.quantile_filter(jnp.asarray(x32), 0.9))
+    want = ref.quantfilt_ref(x32.astype(np.float64), 0.9).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("thr", [0.25, 0.5, 0.9])
+def test_quantile_filter_exact_at_ties(thr):
+    """Tie-heavy quantised data — where a plain fp32 quantile misclassifies
+    pixels — must match NumPy-f64 exactly (pipeline_data.py:46-49)."""
+    rng = np.random.default_rng(3)
+    x = (np.round(rng.random((129, 200)) * 7) / 7).astype(np.float32)
+    q = np.quantile(x.astype(np.float64), thr, axis=0, keepdims=True)
+    want = np.where(x.astype(np.float64) < q, 0, x).astype(np.float32)
+    got = np.asarray(enhance.quantile_filter(jnp.asarray(x), thr))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_to_uint8_truncation():
@@ -130,13 +143,26 @@ def test_pipeline_stages_match_composition(img):
 
 
 @pytest.mark.skipif(not HAS_CV2, reason="cv2 not available")
-def test_bilateral_close_to_cv2(img):
-    """bilateral (dataset.ipynb cell 1) is a float re-implementation; require
-    close agreement, not bit-exactness (cv2 quantises range weights)."""
+def test_bilateral_u8_bitexact_vs_cv2():
+    """bilateral_u8 reproduces cv2's CV_8UC1 bilateralFilter arithmetic
+    bit-for-bit (LUT range weights, f32 accumulation, round-half-even)."""
+    rng = np.random.default_rng(5)
+    for shape, args in [((64, 97), (15, 75, 75)), ((80, 120), (9, 40, 30))]:
+        u8 = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = cv2.bilateralFilter(u8, *args)
+        got = np.asarray(enhance.bilateral_u8(jnp.asarray(u8, jnp.float32), *args))
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+@pytest.mark.skipif(not HAS_CV2, reason="cv2 not available")
+def test_bilateral_stage_exact(img):
+    """The full stage (uint8-quantise -> cv2 bilateral -> rescale) matches
+    the reference recipe to float rounding (dataset.ipynb cell 1)."""
     u8 = (ref.rescale_ref(img) * 255).astype("uint8")
     want = ref.rescale_ref(cv2.bilateralFilter(u8, 15, 75, 75))
     got = np.asarray(enhance.bilateral(jnp.asarray(img, jnp.float32)))
-    assert ssim(got, want) > 0.98
+    assert ssim(got, want) > 0.999
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_known_transient_mode_survives_enhancement():
