@@ -210,7 +210,7 @@ def cmd_train_raw(args):
     traces = np.concatenate(traces, axis=0)
     state, hist = train_from_raw(
         traces, cfg, model_cfg,
-        TrainConfig(epochs=args.epochs, seed=args.seed),
+        TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by),
         verbose=not args.quiet,
     )
     os.makedirs(args.out_dir, exist_ok=True)
@@ -257,6 +257,10 @@ def cmd_sweep(args):
     res = sweep_fit(
         configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
         train_cfg, epochs=args.epochs, verbose=not args.quiet,
+        checkpoint_dir=(
+            os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
+        ),
+        resume=args.resume,
     )
     np.save(os.path.join(args.out_dir, "val_losses.npy"), res.val_losses.reshape(grid_shape))
 
@@ -526,6 +530,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--epochs", type=int, default=15)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--cut-shot", type=float, default=None)
+    tr.add_argument("--split-by", choices=["tile", "shot"], default="tile",
+                    help="'tile' = reference-exact leaky split; 'shot' = leak-free")
     tr.add_argument("--binary", action="store_true")
     tr.add_argument("--quiet", action="store_true")
     tr.set_defaults(fn=cmd_train_raw)
@@ -539,6 +545,10 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--seed", type=int, default=0)
     w.add_argument("--no-time-configs", action="store_true",
                    help="skip the per-config pred_times measurement")
+    w.add_argument("--checkpoints", action="store_true",
+                   help="snapshot the stacked sweep state every epoch")
+    w.add_argument("--resume", action="store_true",
+                   help="continue the grid from the latest epoch checkpoint")
     w.add_argument("--quiet", action="store_true")
     w.set_defaults(fn=cmd_sweep)
 

@@ -63,14 +63,23 @@ def train_from_raw(
     """Raw shot batch -> trained autoencoder, all compute on device.
 
     ``traces``: (C_total, n_samples) — e.g. every channel of a campaign
-    stacked.  Split follows the reference's tile-level 60/25/15
-    (train_cfg.split_fracs); pass TrainConfig(split_by='shot') semantics by
-    pre-grouping channels yourself (tiles of one trace stay contiguous).
+    stacked.  Split follows ``train_cfg.split_by``: ``'tile'`` is the
+    reference-exact leaky tile-level 60/25/15 (hyperparam_scan.py:148-149),
+    ``'shot'`` splits at trace granularity BEFORE tiling (dataset.ipynb
+    cell 3 semantics) so no trace's tiles straddle train/tune/test — tiles
+    are laid out (trace, tile), so that is a split at trace-multiples of
+    the tile count.
     """
     train_cfg = train_cfg or cfg.train
     x, y = prepare_tiles_on_device(traces, cfg)
     n = x.shape[0]
-    a, b = int(n * train_cfg.split_fracs[0]), int(n * train_cfg.split_fracs[1])
+    if train_cfg.split_by == "shot":
+        n_ch = traces.shape[0]
+        k = n // n_ch  # tiles per trace (patch() guarantees uniformity)
+        a = int(n_ch * train_cfg.split_fracs[0]) * k
+        b = int(n_ch * train_cfg.split_fracs[1]) * k
+    else:
+        a, b = int(n * train_cfg.split_fracs[0]), int(n * train_cfg.split_fracs[1])
     state = create_state(model_cfg, train_cfg)
     state, history = fit(
         state,

@@ -28,6 +28,7 @@ averages (``loss_comparisons.npz``, manual_scan.py:302-364).
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -250,12 +251,20 @@ def sweep_fit(
     epochs: Optional[int] = None,
     mesh=None,
     sweep_axis: str = "sweep",
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     verbose: bool = False,
 ) -> SweepResult:
     """Train every config simultaneously (vmapped over the config axis).
 
     With ``mesh`` given (axis ``sweep_axis``), the config axis is sharded
     over devices — each chip trains its slice of the grid, no host loop.
+
+    With ``checkpoint_dir`` set, every epoch snapshots the stacked envelope
+    params + optimizer state + loss histories (orbax) — the resume the
+    reference's 100-epoch serial grids (manual_scan.py:176-252) never had.
+    ``resume=True`` continues from the latest epoch with the shuffle stream
+    replayed, so the final trajectory is identical to an uninterrupted run.
     """
     epochs = train_cfg.epochs if epochs is None else epochs
     env = envelope_config(configs)
@@ -313,10 +322,59 @@ def sweep_fit(
     y_val = jnp.asarray(y_val, jnp.float32)
     rng = np.random.default_rng(train_cfg.seed)
 
-    from specenh.train import _epoch_batches
+    from specenh.train import (
+        _epoch_batches,
+        check_run_meta,
+        latest_checkpoint_epoch,
+        write_run_meta,
+    )
+
+    ckptr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+    run_meta = {
+        "n": int(n), "seed": int(train_cfg.seed), "batch_size": int(bs),
+        "shuffle": bool(train_cfg.shuffle), "n_configs": len(configs),
+    }
 
     tr_hist, va_hist = [], []
-    for epoch in range(epochs):
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        last = latest_checkpoint_epoch(checkpoint_dir)
+        if last is not None:
+            check_run_meta(checkpoint_dir, run_meta)
+            template = {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "tr_hist": np.zeros((last + 1, len(configs)), np.float64),
+                "va_hist": np.zeros((last + 1, len(configs)), np.float64),
+            }
+            restored = ckptr.restore(
+                os.path.join(checkpoint_dir, f"epoch_{last:04d}"), template
+            )
+            params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+            opt_state = jax.tree_util.tree_map(jnp.asarray, restored["opt_state"])
+            if mesh is not None:
+                params = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), params)
+                opt_state = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, sh) if getattr(a, "ndim", 0) > 0 else a,
+                    opt_state,
+                )
+            tr_hist = [np.asarray(r) for r in restored["tr_hist"]]
+            va_hist = [np.asarray(r) for r in restored["va_hist"]]
+            start_epoch = last + 1
+            for _ in range(start_epoch):  # replay shuffle stream
+                if train_cfg.shuffle:
+                    rng.permutation(n)
+            if verbose:
+                print(f"sweep resumed from epoch {last}")
+    if ckptr:
+        write_run_meta(checkpoint_dir, run_meta)
+
+    for epoch in range(start_epoch, epochs):
         perm = rng.permutation(n) if train_cfg.shuffle else np.arange(n)
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)
         params, opt_state, losses = sweep_epoch(
@@ -347,6 +405,20 @@ def sweep_fit(
         va_hist.append((v_losses * v_weights).sum(0) / v_weights.sum())
         if verbose:
             print(f"epoch {epoch+1}/{epochs} val={np.array2string(va_hist[-1], precision=4)}")
+        if ckptr:
+            ckptr.save(
+                os.path.join(checkpoint_dir, f"epoch_{epoch:04d}"),
+                {
+                    "params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "tr_hist": np.asarray(tr_hist, np.float64),
+                    "va_hist": np.asarray(va_hist, np.float64),
+                },
+                force=True,
+            )
+
+    if ckptr:
+        ckptr.wait_until_finished()
 
     val_losses = va_hist[-1]
     best = int(np.argmin(val_losses))

@@ -45,6 +45,8 @@ __all__ = [
     "predict",
     "restore_checkpoint",
     "latest_checkpoint_epoch",
+    "write_run_meta",
+    "check_run_meta",
 ]
 
 
@@ -148,6 +150,31 @@ def _epoch_batches(n: int, bs: int, perm: np.ndarray):
     return np.stack(idxs).astype(np.int32), np.stack(masks)
 
 
+def write_run_meta(checkpoint_dir: str, meta: Dict[str, Any]) -> None:
+    """Record the run parameters the shuffle-stream replay depends on."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "run_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def check_run_meta(checkpoint_dir: str, meta: Dict[str, Any]) -> None:
+    """Refuse to resume when the dataset size / seed / batching differ from
+    the checkpointed run: the replayed shuffle stream would silently diverge
+    from the uninterrupted trajectory."""
+    path = os.path.join(checkpoint_dir, "run_meta.json")
+    if not os.path.exists(path):
+        return  # pre-meta checkpoints: keep the old permissive behaviour
+    with open(path) as fh:
+        saved = json.load(fh)
+    diffs = {k: (saved.get(k), v) for k, v in meta.items() if saved.get(k) != v}
+    if diffs:
+        raise ValueError(
+            f"cannot resume from {checkpoint_dir}: run parameters changed "
+            f"since the checkpointed run: {diffs} (saved, current) — the "
+            "replayed shuffle stream would not match the original run"
+        )
+
+
 def latest_checkpoint_epoch(checkpoint_dir: str) -> Optional[int]:
     """Highest epoch_NNNN under ``checkpoint_dir``, or None."""
     if not os.path.isdir(checkpoint_dir):
@@ -208,10 +235,15 @@ def fit(
         ckptr = ocp.StandardCheckpointer()
         checkpoint_dir = os.path.abspath(checkpoint_dir)
 
+    run_meta = {
+        "n": int(n), "seed": int(cfg.seed), "batch_size": int(bs),
+        "shuffle": bool(cfg.shuffle),
+    }
     start_epoch = 0
     if resume and checkpoint_dir:
         last = latest_checkpoint_epoch(checkpoint_dir)
         if last is not None:
+            check_run_meta(checkpoint_dir, run_meta)
             state = restore_checkpoint(state, checkpoint_dir, last)
             start_epoch = last + 1
             for _ in range(start_epoch):  # replay shuffle stream
@@ -219,6 +251,8 @@ def fit(
                     rng.permutation(n)
             if verbose:
                 print(f"resumed from epoch {last}")
+    if ckptr:
+        write_run_meta(checkpoint_dir, run_meta)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()

@@ -122,7 +122,9 @@ def test_checkpoint_every_epoch(tmp_path):
         checkpoint_dir=str(ckdir),
         metrics_path=str(tmp_path / "metrics.jsonl"),
     )
-    assert sorted(p.name for p in ckdir.iterdir()) == ["epoch_0000", "epoch_0001"]
+    assert sorted(p.name for p in ckdir.iterdir()) == [
+        "epoch_0000", "epoch_0001", "run_meta.json",
+    ]
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) == 2
 
@@ -186,3 +188,19 @@ def test_resume_matches_uninterrupted(tmp_path):
         jax.tree_util.tree_leaves(full.params), jax.tree_util.tree_leaves(resumed.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resume_guards_run_meta(tmp_path):
+    """fit(resume=True) with a changed dataset size / seed must refuse:
+    the replayed shuffle stream would not match the original run."""
+    from specenh.train import create_state, fit
+
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=0)
+    ck = str(tmp_path / "ck")
+    fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="run parameters changed"):
+        fit(create_state(SMALL, tc), x[:8], y[:8], cfg=tc, epochs=2,
+            checkpoint_dir=ck, resume=True)

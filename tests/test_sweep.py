@@ -158,3 +158,43 @@ def test_even_kernels_rejected():
     ]
     with pytest.raises(ValueError, match="odd"):
         envelope_config(cfgs)
+
+
+def test_sweep_resume_matches_uninterrupted(tmp_path):
+    """Kill a grid mid-run, resume — final histories and params identical
+    to the uninterrupted run (VAE/manual_scan.py:176-252 had no resume)."""
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    x, y = _data(32)
+    tc = TrainConfig(batch_size=8, seed=0)
+    full = sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:], tc, epochs=4)
+
+    ck = str(tmp_path / "sweepck")
+    sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:], tc, epochs=2,
+              checkpoint_dir=ck)  # "crash" after epoch 2
+    res = sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:], tc, epochs=4,
+                    checkpoint_dir=ck, resume=True)
+    np.testing.assert_allclose(res.val_history, full.val_history, atol=1e-6)
+    np.testing.assert_allclose(res.train_history, full.train_history, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.stacked_params),
+        jax.tree_util.tree_leaves(res.stacked_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sweep_resume_guards_run_meta(tmp_path):
+    """Resuming with a different dataset size must fail loudly (the replayed
+    shuffle stream would silently diverge)."""
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+    ]
+    x, y = _data(32)
+    tc = TrainConfig(batch_size=8, seed=0)
+    ck = str(tmp_path / "sweepck")
+    sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:], tc, epochs=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="run parameters changed"):
+        sweep_fit(cfgs, x[:16], y[:16], x[24:], y[24:], tc, epochs=2,
+                  checkpoint_dir=ck, resume=True)
