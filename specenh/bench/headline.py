@@ -27,9 +27,15 @@ BASELINE_CACHE = os.path.join(
 def measure_tpu(n_channels: int = 20) -> float:
     """Spectrograms (channels) per second on one chip, steady-state.
 
-    Self-checking: the measured path's spectrogram is validated against the
-    CPU reference recipe at SSIM >= 0.99 (the BASELINE.md quality gate) —
-    a fast-but-wrong kernel fails the bench instead of reporting a number.
+    Self-checking twice over (the BASELINE.md quality gates) — a
+    fast-but-wrong kernel fails the bench instead of reporting a number:
+
+    * the measured path's spectrogram vs the CPU reference recipe
+      (SciPy), SSIM >= 0.99;
+    * the measured path's restitched *enhanced output* (bf16 conv-AE fed
+      by the bf16x3 STFT) vs the full float32-HIGHEST service, SSIM >=
+      0.999 — so a regression anywhere in the fast path, not just the
+      spectrogram, gates the headline.
     """
     import jax
 
@@ -47,12 +53,25 @@ def measure_tpu(n_channels: int = 20) -> float:
     params = model.init(jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32))
     fn = make_enhance_shot_fn(cfg, sp)
 
-    specs, _ = fn(params, traces)
+    specs, enhanced = fn(params, traces)
     golden, _, _ = spectrogram_ref(host_traces[0], sp)
     quality = ssim(np.asarray(specs[0]), golden)
     if quality < 0.99:
         raise SystemExit(f"quality gate failed: spectrogram SSIM {quality:.4f} < 0.99")
     print(f"# spectrogram SSIM vs CPU reference: {quality:.6f}", file=sys.stderr)
+
+    fn32 = make_enhance_shot_fn(cfg, sp, dtype=None)  # fp32-HIGHEST golden service
+    _, enhanced32 = fn32(params, traces)
+    svc_quality = min(
+        ssim(np.asarray(enhanced[c]), np.asarray(enhanced32[c]))
+        for c in range(n_channels)
+    )
+    if svc_quality < 0.999:
+        raise SystemExit(
+            f"quality gate failed: enhanced-output SSIM {svc_quality:.5f} < 0.999 "
+            "(bf16 service vs fp32-HIGHEST service)"
+        )
+    print(f"# enhanced-output SSIM vs fp32 service: {svc_quality:.6f}", file=sys.stderr)
 
     sec = time_fn(fn, params, traces, iters=20, warmup=3)
     return n_channels / sec
