@@ -42,7 +42,13 @@ from specenh.config import PipelineConfig, SpecParams
 from specenh.ops.enhance import opencv_gauss_kernel_q88
 from specenh.ops.stft import stft_basis
 
-__all__ = ["sharded_spectrogram", "sharded_enhance", "usable_samples"]
+__all__ = [
+    "sharded_spectrogram",
+    "sharded_enhance",
+    "usable_samples",
+    "usable_samples_tiled",
+    "make_sharded_enhance_shot",
+]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -122,6 +128,33 @@ def _gto_u8(x, axis_name):
 # ---------------------------------------------------------------------------
 
 
+def _spectrogram_local(xl, sp: SpecParams, k: int, axis_name: str):
+    """Per-shard body of the time-sharded STFT (inside shard_map): halo
+    exchange + matmul STFT + global rescale.  ``xl``: (..., k*hop) local raw
+    samples; returns (..., n_freqs_kept, k) local spectrogram columns."""
+    r = sp.nperseg // sp.hop
+    b_real, b_imag, weights = stft_basis(sp)
+    halo = sp.nperseg - sp.hop
+    n = lax.psum(1, axis_name)
+    i = lax.axis_index(axis_name)
+    x_ext = jnp.concatenate([xl, _recv_right(xl, halo, axis_name)], axis=-1)
+    frames = _local_frames(x_ext, k, sp.nperseg, sp.hop)
+    zr = jnp.matmul(frames, b_real, precision=_HI)
+    zi = jnp.matmul(frames, b_imag, precision=_HI)
+    psd = (zr * zr + zi * zi) * weights  # (..., k, F)
+    # last device's final r-1 frames have no data: copy the last valid
+    is_last = i == n - 1
+    if r > 1:
+        src = psd[..., k - r : k - r + 1, :]
+        tail = jnp.broadcast_to(src, (*psd.shape[:-2], r - 1, psd.shape[-1]))
+        fixed = jnp.where(is_last, tail, psd[..., k - r + 1 :, :])
+        psd = jnp.concatenate([psd[..., : k - r + 1, :], fixed], axis=-2)
+    sxx = jnp.log(psd + jnp.asarray(sp.eps, psd.dtype))
+    sxx = jnp.swapaxes(sxx, -1, -2)  # (..., F, k)
+    sxx = _grescale(sxx, axis_name)
+    return sxx[..., : sp.n_freqs_kept, :]
+
+
 def _local_frames(x_ext, k, nperseg, hop):
     """k frames from a local chunk extended with (nperseg - hop) right-halo
     samples, via shifted reshapes (same trick as ops.stft.frame_signal)."""
@@ -160,28 +193,8 @@ def sharded_spectrogram(
         raise ValueError(
             f"each shard must hold at least nperseg/hop={r} frames; got {k}"
         )
-    b_real, b_imag, weights = stft_basis(sp)
-    halo = sp.nperseg - sp.hop
-
     def fn(xl):
-        n = lax.psum(1, axis)
-        i = lax.axis_index(axis)
-        x_ext = jnp.concatenate([xl, _recv_right(xl, halo, axis)], axis=-1)
-        frames = _local_frames(x_ext, k, sp.nperseg, sp.hop)
-        zr = jnp.matmul(frames, b_real, precision=_HI)
-        zi = jnp.matmul(frames, b_imag, precision=_HI)
-        psd = (zr * zr + zi * zi) * weights  # (..., k, F)
-        # last device's final r-1 frames have no data: copy the last valid
-        is_last = i == n - 1
-        if r > 1:
-            src = psd[..., k - r : k - r + 1, :]
-            tail = jnp.broadcast_to(src, (*psd.shape[:-2], r - 1, psd.shape[-1]))
-            fixed = jnp.where(is_last, tail, psd[..., k - r + 1 :, :])
-            psd = jnp.concatenate([psd[..., : k - r + 1, :], fixed], axis=-2)
-        sxx = jnp.log(psd + jnp.asarray(sp.eps, psd.dtype))
-        sxx = jnp.swapaxes(sxx, -1, -2)  # (..., F, k)
-        sxx = _grescale(sxx, axis)
-        return sxx[..., : sp.n_freqs_kept, :]
+        return _spectrogram_local(xl, sp, k, axis)
 
     spec_in = P(*([None] * (x.ndim - 1) + [axis]))
     spec_out = P(*([None] * (x.ndim - 1) + [None, axis]))
@@ -261,6 +274,40 @@ def _sharded_meansub(x, axis_name):
     return _grescale(jnp.abs(x - mean), axis_name)
 
 
+def _enhance_local(s, cfg: PipelineConfig, axis_name: str):
+    """Per-shard body of the time-sharded 5-stage pipeline (inside
+    shard_map).  Semantics match ops.enhance.classical_pipeline exactly."""
+    # quantfilt: freq axis unsharded -> purely local (same double-float
+    # NumPy-exact quantile as the unsharded pipeline)
+    from specenh.ops.enhance import quantile_filter
+
+    x = quantile_filter(s, cfg.quant_threshold)
+    # gaussblr
+    if cfg.emulate_uint8:
+        kt = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[0]))
+        kf = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[1]))
+        x = _gto_u8(x, axis_name)
+        x = _sharded_gauss_u8(x, kt, kf, axis_name)
+    else:
+        from specenh.ops.enhance import _gauss_kernel_f64
+
+        kt = list(_gauss_kernel_f64(cfg.gauss_ksize[0]))
+        kf = list(_gauss_kernel_f64(cfg.gauss_ksize[1]))
+        x = _sharded_gauss_float(x, kt, kf, axis_name)
+    x = _grescale(x, axis_name)
+    # meansub
+    x = _sharded_meansub(x, axis_name)
+    # morph: CLOSE(close_se) then OPEN(open_se) on uint8
+    x = _gto_u8(x, axis_name)
+    x = _sharded_minmax_window(x, cfg.close_se, True, axis_name)
+    x = _sharded_minmax_window(x, cfg.close_se, False, axis_name)
+    x = _sharded_minmax_window(x, cfg.open_se, False, axis_name)
+    x = _sharded_minmax_window(x, cfg.open_se, True, axis_name)
+    x = _grescale(x, axis_name)
+    # final meansub
+    return _sharded_meansub(x, axis_name)
+
+
 def sharded_enhance(
     spec: jax.Array,
     mesh: Mesh,
@@ -282,35 +329,110 @@ def sharded_enhance(
         )
 
     def fn(s):
-        # quantfilt: freq axis unsharded -> purely local
-        q = jnp.quantile(s, cfg.quant_threshold, axis=-2, keepdims=True, method="linear")
-        x = jnp.where(s < q, jnp.zeros((), s.dtype), s)
-        # gaussblr
-        if cfg.emulate_uint8:
-            kt = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[0]))
-            kf = list(opencv_gauss_kernel_q88(cfg.gauss_ksize[1]))
-            x = _gto_u8(x, axis)
-            x = _sharded_gauss_u8(x, kt, kf, axis)
-        else:
-            from specenh.ops.enhance import _gauss_kernel_f64
-
-            kt = list(_gauss_kernel_f64(cfg.gauss_ksize[0]))
-            kf = list(_gauss_kernel_f64(cfg.gauss_ksize[1]))
-            x = _sharded_gauss_float(x, kt, kf, axis)
-        x = _grescale(x, axis)
-        # meansub
-        x = _sharded_meansub(x, axis)
-        # morph: CLOSE(close_se) then OPEN(open_se) on uint8
-        x = _gto_u8(x, axis)
-        x = _sharded_minmax_window(x, cfg.close_se, True, axis)
-        x = _sharded_minmax_window(x, cfg.close_se, False, axis)
-        x = _sharded_minmax_window(x, cfg.open_se, False, axis)
-        x = _sharded_minmax_window(x, cfg.open_se, True, axis)
-        x = _grescale(x, axis)
-        # final meansub
-        return _sharded_meansub(x, axis)
+        return _enhance_local(s, cfg, axis)
 
     spec_last = P(*([None] * (spec.ndim - 1) + [axis]))
     return jax.jit(
         shard_map(fn, mesh=mesh, in_specs=(spec_last,), out_specs=spec_last)
     )(spec)
+
+
+# ---------------------------------------------------------------------------
+# the composed long-shot program: STFT -> pipeline -> conv-AE, one shard_map
+# ---------------------------------------------------------------------------
+
+
+def usable_samples_tiled(
+    n_samples: int, n_dev: int, sp: SpecParams, tile_time: int = 128
+) -> int:
+    """Largest T <= n_samples such that every device's shard is a whole
+    number of AE tiles: T divisible by n_dev * hop * tile_time."""
+    q = n_dev * sp.hop * tile_time
+    return (n_samples // q) * q
+
+
+def make_sharded_enhance_shot(
+    model_cfg=None,
+    sp: SpecParams = SpecParams(),
+    mesh: Mesh = None,
+    ps=None,
+    pipe_cfg: PipelineConfig = PipelineConfig(),
+    axis: str = "time",
+    dtype=None,
+    n_samples: int = None,
+):
+    """ONE device program taking a single long shot end-to-end across the
+    mesh — the composed long-context path:
+
+        raw trace (time-sharded)
+          -> halo-exchange STFT                (_spectrogram_local)
+          -> sharded 5-stage classical pipeline (_enhance_local)
+          -> conv-AE on the shard's tiles       (tiles are SAME-padded and
+             independent, SURVEY.md section 5 — the tile axis IS the time
+             axis, so no halo is needed)
+          -> restitch (local unpatch)
+
+    Returns jitted ``fn(params, trace) -> (spec, labels, enhanced)``, each
+    (..., F, T/hop) sharded over ``axis``.  ``trace``: (..., T) with T
+    divisible by mesh_size * hop * tile_time (``usable_samples_tiled``).
+    This is the multi-device composition of the reference workload
+    (spec_denoising/pipeline_data.py:31 truncate-and-tile +
+    VAE/hyperparam_scan.py:30-38 tiling + VAE/graphs.ipynb cells 2-9
+    predict-and-restitch) for shots longer than one device's HBM/compute.
+
+    ``n_samples``: the trace length (defaults to ``sp.n_samples``), used to
+    validate the geometry eagerly.
+    """
+    from specenh.config import ModelConfig, PatchSpec
+    from specenh.data.tiles import patch, unpatch
+    from specenh.models.autoencoder import make_model
+
+    model_cfg = model_cfg or ModelConfig()
+    ps = ps or PatchSpec()
+    model = make_model(model_cfg, dtype=dtype)
+    n_dev = mesh.shape[axis]
+    t_total = sp.n_samples if n_samples is None else n_samples
+    if t_total % (n_dev * sp.hop) != 0:
+        raise ValueError(
+            f"T={t_total} not divisible by n_dev*hop={n_dev * sp.hop}; trim "
+            "with usable_samples_tiled()"
+        )
+    k = t_total // (n_dev * sp.hop)  # frames per shard
+    if k % ps.tile_time != 0:
+        raise ValueError(
+            f"frames/shard {k} not a whole number of {ps.tile_time}-frame "
+            "tiles; trim with usable_samples_tiled()"
+        )
+    if sp.nperseg % sp.hop != 0:
+        raise ValueError("sharded STFT requires nperseg % hop == 0")
+    if k < sp.nperseg // sp.hop:
+        raise ValueError("each shard must hold at least nperseg/hop frames")
+    if model_cfg.input_shape[:2] != (sp.n_freqs_kept, ps.tile_time):
+        raise ValueError(
+            f"model input {model_cfg.input_shape[:2]} != tile geometry "
+            f"({sp.n_freqs_kept}, {ps.tile_time})"
+        )
+    k_tiles = k // ps.tile_time
+
+    def fn(params, xl):
+        s = _spectrogram_local(xl, sp, k, axis)  # (..., F, k)
+        labels = _enhance_local(s, pipe_cfg, axis)
+        was2d = s.ndim == 2
+        tiles = patch(s, ps)[..., None]  # (n_batch*k_tiles, F, w, 1)
+        pred = model.apply(params, tiles)
+        enh = unpatch(jnp.squeeze(pred, -1), ps, tiles_per_spec=k_tiles)
+        if was2d:
+            enh = enh[0]
+        return s, labels, enh
+
+    def wrapped(params, trace):
+        nb = trace.ndim - 1  # leading (channel) axes replicated
+        tr_spec = P(*([None] * nb + [axis]))
+        o_spec = P(*([None] * nb + [None, axis]))
+        f = shard_map(
+            fn, mesh=mesh, in_specs=(P(), tr_spec),
+            out_specs=(o_spec, o_spec, o_spec),
+        )
+        return f(params, trace)
+
+    return jax.jit(wrapped)

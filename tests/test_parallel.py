@@ -149,3 +149,68 @@ def test_multichip_serving_matches_single(mesh8):
     s2, e2 = fm(params, traces)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-5)
+
+
+def test_composed_long_shot_program(tmesh8):
+    """ONE shard_map program: time-sharded STFT -> sharded pipeline ->
+    tile-sharded conv-AE -> restitch, vs the same ops unsharded (<=1e-5)."""
+    from specenh.bench.harness import make_enhance_shot_fn  # noqa: F401 (geometry ref)
+    from specenh.data.tiles import patch, unpatch
+    from specenh.models.autoencoder import make_model
+    from specenh.parallel.timeshard import (
+        make_sharded_enhance_shot,
+        usable_samples_tiled,
+    )
+
+    sp_full = SpecParams(cut_shot=0.6)
+    t_use = usable_samples_tiled(sp_full.n_samples, 8, sp_full)
+    sp = SpecParams(cut_shot=t_use / sp_full.fs)
+    x = synth_trace(sp_full, seed=11)[:t_use]
+
+    cfg = ModelConfig()  # flagship geometry (256, 128, 1)
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(2), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    fn = make_sharded_enhance_shot(cfg, sp, tmesh8)
+    spec, labels, enh = fn(params, jnp.asarray(x))
+    spec, labels, enh = np.asarray(spec), np.asarray(labels), np.asarray(enh)
+
+    # unsharded reference on the gathered sharded spectrogram
+    want_lab = np.asarray(classical_pipeline(jnp.asarray(spec)))
+    k_tiles = spec.shape[-1] // 128
+    tiles = patch(jnp.asarray(spec))[..., None]
+    pred = make_model(cfg).apply(params, tiles)
+    want_enh = np.asarray(unpatch(jnp.squeeze(pred, -1), tiles_per_spec=k_tiles))[0]
+
+    # and the spectrogram itself vs the tested sharded_spectrogram
+    want_spec = np.asarray(sharded_spectrogram(jnp.asarray(x), sp, tmesh8))
+    np.testing.assert_allclose(spec, want_spec, atol=1e-6)
+    np.testing.assert_allclose(labels, want_lab, atol=1e-5)
+    np.testing.assert_allclose(enh, want_enh, atol=1e-5)
+
+
+def test_composed_long_shot_batched(tmesh8):
+    """The composed program batches over leading channel axes."""
+    from specenh.data.tiles import patch, unpatch
+    from specenh.models.autoencoder import make_model
+    from specenh.parallel.timeshard import (
+        make_sharded_enhance_shot,
+        usable_samples_tiled,
+    )
+
+    sp_full = SpecParams(cut_shot=0.6)
+    t_use = usable_samples_tiled(sp_full.n_samples, 8, sp_full)
+    sp = SpecParams(cut_shot=t_use / sp_full.fs)
+    xs = synth_trace(sp_full, seed=12, n_channels=2)[:, :t_use]
+    cfg = ModelConfig()
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(3), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    fn = make_sharded_enhance_shot(cfg, sp, tmesh8)
+    spec, labels, enh = fn(params, jnp.asarray(xs))
+    assert spec.shape[0] == labels.shape[0] == enh.shape[0] == 2
+    k_tiles = spec.shape[-1] // 128
+    tiles = patch(jnp.asarray(np.asarray(spec)))[..., None]
+    pred = make_model(cfg).apply(params, tiles)
+    want_enh = np.asarray(unpatch(jnp.squeeze(pred, -1), tiles_per_spec=k_tiles))
+    np.testing.assert_allclose(np.asarray(enh), want_enh, atol=1e-5)
