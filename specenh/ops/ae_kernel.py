@@ -1,0 +1,457 @@
+"""Single fused Pallas TPU kernel for the whole depth-2 conv autoencoder.
+
+Why: the stock XLA conv pipeline is HBM-bandwidth-bound — ~6 GB of
+inter-layer activation traffic per 20-channel shot (Z1, P1, P2, d, E all
+round-trip HBM; PERF_NOTES.md "Where the 16.5 ms goes").  This kernel keeps
+every activation in VMEM: HBM sees only the input tiles and the sigmoid
+output (~160 MB/shot).
+
+The layout idea that makes it legal under Mosaic's constraints (no strided
+slices on values, lane shuffles expensive, M-major matmuls slow):
+
+    EVERY tensor lives on a fixed coarse lane grid — the 64x32 quarter-
+    resolution cells of one (256,128) tile, 2048 lanes — and finer
+    resolutions are expressed as PARITY PLANES stacked in the sublane
+    (row) dimension:
+
+      input  x16  (16, 2048)  16 full-res parity rows  (256x128 = 4x4 par)
+      P1     p1_4 (128, 2048)  4 fine parities x 32 ch  (128x64  = 2x2 par)
+      P2     p2   (32, 2048)   coarse-native            (64x32)
+      d      d4   (128, 2048)  4 fine parities x 32 ch
+      E      e16  (512, 2048) 16 full-res parities x 32 ch
+      out    o16  (16, 2048)  16 full-res parity rows
+
+    Convolution windows then decompose into (parity row-block, coarse lane
+    shift) pairs: selecting a parity plane is a SUBLANE slice (free), and a
+    coarse shift is a static lane shift by f + 32*e (cheap), so every layer
+    is ONE dense (rows, K)@(K, 2048) matmul over host-scattered weights —
+    K in {16, 128, 512}, full MXU rows, no dilation, no lane re-gridding.
+
+Weights come from the existing polyphase plan (specenh.ops.fused_ae
+.build_plan) — this kernel is the Pallas execution of that same math, and
+``fused_ae_apply`` (pure jnp, float32) remains the correctness anchor.
+Numerics: bf16 operands / f32 accumulation; service-level SSIM vs the f32
+path is gated in bench.py.
+
+Reference parity: replaces Keras ``autoencoder.predict``
+(VAE/hyperparam_scan.py:214-244) for inference of the depth-2 family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specenh.config import ModelConfig
+from specenh.ops.fused_ae import FusedAEPlan, build_plan
+
+__all__ = ["AEKernelWeights", "build_kernel_weights", "ae_kernel_apply",
+           "ae_kernel_enhance_specs", "supports", "tiles_to_x16",
+           "o16_to_tiles", "specs_to_x16", "o16_to_specs"]
+
+# one (256, 128) tile: coarse grid 64 x 32 = 2048 lanes
+CS, CT = 64, 32
+LANES = CS * CT
+
+
+# ---------------------------------------------------------------------------
+# host-side: tap tables and scattered weights
+# ---------------------------------------------------------------------------
+
+
+def _l1_shift_sets(p: int, q: int):
+    """conv1 window shifts for fine-parity (p, q): the 16 taps touch coarse
+    shifts E_p x F_q with E_0 = {-1, 0}, E_1 = {0, 1} (same for f)."""
+    return ([-1, 0] if p == 0 else [0, 1]), ([-1, 0] if q == 0 else [0, 1])
+
+
+def _l1_weight(plan_w1: np.ndarray, p: int, q: int) -> np.ndarray:
+    """Host-scattered conv1 lhs (128, 64) for fine-parity (p, q).
+
+    The kernel's K operand is the concat of the four FULL shifted x16
+    copies X_(e,f) (16 rows each, (e, f) in E_p x F_q order); single-row
+    gathers are illegal lane-shifted slices under Mosaic, so the row
+    selection is folded in here: column (ei*2 + fi)*16 + (phi*4 + xi)
+    carries the weight of window tap (rho, sigma) that lands on that
+    (shift, parity-row) pair.
+    """
+    es, fs = _l1_shift_sets(p, q)
+    out = np.zeros((128, len(es) * len(fs) * 16), np.float32)
+    for rho in range(4):
+        dy = 2 * p - 1 + rho
+        phi, e = dy % 4, dy // 4
+        for sigma in range(4):
+            dx = 2 * q - 1 + sigma
+            xi, f = dx % 4, dx // 4
+            col = (es.index(e) * len(fs) + fs.index(f)) * 16 + phi * 4 + xi
+            out[:, col] = plan_w1[rho * 4 + sigma, :]
+    return out
+
+
+def _l2_slots() -> List[Tuple[int, int, int]]:
+    """16 window taps of conv2 (base = coarse grid): 32-row blocks of p1_4."""
+    slots = []
+    for rho in range(4):
+        d = rho - 1
+        pp, e = d % 2, d // 2
+        for sigma in range(4):
+            d2 = sigma - 1
+            qq, f = d2 % 2, d2 // 2
+            slots.append((pp * 2 + qq, e, f))
+    return slots
+
+
+def _l4_slots(p: int, q: int, e4: int, wz: int) -> List[Tuple[int, int, int]]:
+    """convT1 window taps for fine-parity (p, q): 32-row blocks of d4."""
+    slots = []
+    for i in range(wz):
+        d = p + e4 + i
+        pp, e = d % 2, d // 2
+        for j in range(wz):
+            d2 = q + e4 + j
+            qq, f = d2 % 2, d2 // 2
+            slots.append((pp * 2 + qq, e, f))
+    return slots
+
+
+def _l5_slots(p: int, q: int) -> List[Tuple[int, int, int]]:
+    """out-conv window taps for fine-parity (p, q): 32-row blocks of e16.
+
+    e16 rows are in PRODUCTION order (p', q', a', b', c) — the direct concat
+    of the four convT1 outputs — so full-res parity (phi, xi) maps to block
+    ((p'*2 + q')*4 + a'*2 + b') with p' = phi//2, a' = phi%2 etc."""
+    slots = []
+    for rho in range(4):
+        dy = 2 * p - 1 + rho
+        phi, e = dy % 4, dy // 4
+        for sigma in range(4):
+            dx = 2 * q - 1 + sigma
+            xi, f = dx % 4, dx // 4
+            blk = (((phi // 2) * 2 + (xi // 2)) * 4) + (phi % 2) * 2 + (xi % 2)
+            slots.append((blk, e, f))
+    return slots
+
+
+@dataclasses.dataclass
+class AEKernelWeights:
+    """Device-ready transposed weight matrices (+ static tap tables)."""
+
+    w1t: jax.Array  # (512, 64)   conv1: 4 per-parity (128, 64) blocks
+    b1: jax.Array   # (128, 1)
+    w2t: jax.Array  # (128, 512)  conv2
+    b2: jax.Array
+    w3t: jax.Array  # (128, wz3^2*32) convT2
+    b3: jax.Array
+    w4t: jax.Array  # (128, wz4^2*32) convT1
+    b4: jax.Array
+    w5t: jax.Array  # (4, 512)    out conv
+    b5: jax.Array   # (4, 1)
+    e3: int
+    wz3: int
+    e4: int
+    wz4: int
+
+    def tree_flatten(self):  # pragma: no cover - registered below
+        pass
+
+
+jax.tree_util.register_dataclass(
+    AEKernelWeights,
+    data_fields=["w1t", "b1", "w2t", "b2", "w3t", "b3", "w4t", "b4", "w5t", "b5"],
+    meta_fields=["e3", "wz3", "e4", "wz4"],
+)
+
+
+def supports(cfg: ModelConfig) -> bool:
+    """The fused kernel covers the flagship geometry: depth-2, 32+32
+    filters, 3x3 kernels, (256, 128, 1) tiles."""
+    return (
+        cfg.depth == 2
+        and tuple(cfg.filters) == (32, 32)
+        and all(k == (3, 3) for k in cfg.kernels)
+        and tuple(cfg.out_kernel) == (3, 3)
+        and tuple(cfg.input_shape) == (256, 128, 1)
+    )
+
+
+def build_kernel_weights(params, cfg: ModelConfig = ModelConfig(),
+                         dtype=jnp.bfloat16) -> AEKernelWeights:
+    if not supports(cfg):
+        raise NotImplementedError(
+            "ae_kernel supports the flagship depth-2 (32,32)/k3 geometry; "
+            "other configs use the Flax path"
+        )
+    plan = build_plan(params, cfg, dtype=jnp.float32)
+
+    def t(w):
+        return jnp.asarray(np.asarray(w, np.float32).T, dtype)
+
+    def col(b):
+        return jnp.asarray(np.asarray(b, np.float32))[:, None]
+
+    w1_np = np.asarray(plan.w1, np.float32)
+    w1t_stack = np.concatenate(
+        [_l1_weight(w1_np, p, q) for p in range(2) for q in range(2)], axis=0
+    )  # (512, 64)
+    return AEKernelWeights(
+        w1t=jnp.asarray(w1t_stack, dtype), b1=col(plan.b1),
+        w2t=t(plan.w2), b2=col(plan.b2),
+        w3t=t(plan.w3), b3=col(plan.b3),
+        w4t=t(plan.w4), b4=col(plan.b4),
+        w5t=t(plan.w5), b5=col(np.asarray(plan.b5)[:4]),
+        e3=plan.e3, wz3=plan.wz3, e4=plan.e4, wz4=plan.wz4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA-side layout conversion (cheap reshape/transpose copies on HBM)
+# ---------------------------------------------------------------------------
+
+
+def tiles_to_x16(tiles: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(B, 256, 128, 1) NHWC tiles -> (16, B*2048) full-res parity rows."""
+    b = tiles.shape[0]
+    x = jnp.squeeze(tiles, -1).astype(dtype)            # (B, 256, 128)
+    x = x.reshape(b, CS, 4, CT, 4)
+    x = x.transpose(2, 4, 0, 1, 3)                      # (4, 4, B, 64, 32)
+    return x.reshape(16, b * LANES)
+
+
+def specs_to_x16(specs: jax.Array, k_tiles: int, dtype=jnp.bfloat16) -> jax.Array:
+    """(C, 256, >=k*128) spectrograms -> (16, C*k*2048) parity rows.
+
+    Two-step form (gather the 16 parity values into the minor dim, then one
+    2-D transpose) — measured ~10% faster than the direct 6-D transpose on
+    v5e; XLA's transpose codegen prefers the simpler patterns."""
+    c = specs.shape[0]
+    x = specs[:, :, : k_tiles * 128].astype(dtype)
+    x = x.reshape(c, CS, 4, k_tiles, CT, 4)             # (C, s, phi, k, t, xi)
+    x = x.transpose(0, 3, 1, 4, 2, 5)                   # (C, k, s, t, phi, xi)
+    return x.reshape(c * k_tiles * LANES, 16).T
+
+
+def o16_to_specs(o16: jax.Array, c: int, k_tiles: int) -> jax.Array:
+    """(16, C*k*2048) parity rows (production order) -> (C, 256, k*128)
+    restitched enhancement.
+
+    Channelize-first form: one 3-D transpose pulling the 16 parity rows
+    minor, then the parity interleave — measured 1.5x the direct 8-D
+    transpose on v5e."""
+    m = o16.shape[1]
+    x = o16.reshape(16, m // LANES, LANES).transpose(1, 2, 0)  # (B, 2048, 16)
+    x = x.reshape(c, k_tiles, CS, CT, 2, 2, 2, 2)       # (c,k,s,t,p,q,a,b)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)             # (c,s,p,a,k,t,q,b)
+    return x.reshape(c, 256, k_tiles * 128)
+
+
+def o16_to_tiles(o16: jax.Array, b: int) -> jax.Array:
+    """(16, B*2048) parity rows in PRODUCTION order (p, q, a, b) ->
+    (B, 256, 128, 1) NHWC tiles (natural pixel y = 4s + 2p + a,
+    x = 4t + 2q + bb)."""
+    x = o16.reshape(2, 2, 2, 2, b, CS, CT)              # (p, q, a, bb, B, s, t)
+    x = x.transpose(4, 5, 0, 2, 6, 1, 3)                # (B, s, p, a, t, q, bb)
+    return x.reshape(b, 256, 128)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _lane_shift(x, sh):
+    """Static lane shift with zero fill (Mosaic's dynamic rotate rejects
+    non-32-bit dtypes; static concat of slices lowers cleanly)."""
+    if sh == 0:
+        return x
+    k = x.shape[0]
+    if sh > 0:
+        return jnp.concatenate([x[:, sh:], jnp.zeros((k, sh), x.dtype)], axis=1)
+    return jnp.concatenate([jnp.zeros((k, -sh), x.dtype), x[:, :sh]], axis=1)
+
+
+def _make_masks(nb, dtype):
+    """0/1 row-vectors (1, nb) per (e, f) in {-1,0,1}^2 zeroing taps that
+    fall outside the tile (period LANES); (0,0) maps to None (no mask)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    s = jax.lax.shift_right_logical(lane, 5) & jnp.int32(CS - 1)  # CT = 32
+    t = lane & jnp.int32(CT - 1)
+    mu = {
+        -1: (s >= 1).astype(dtype), 0: None,
+        1: (s < CS - 1).astype(dtype),
+    }
+    mv = {
+        -1: (t >= 1).astype(dtype), 0: None,
+        1: (t < CT - 1).astype(dtype),
+    }
+    masks = {}
+    for e in (-1, 0, 1):
+        for f in (-1, 0, 1):
+            if mu[e] is None and mv[f] is None:
+                masks[(e, f)] = None
+            elif mu[e] is None:
+                masks[(e, f)] = mv[f]
+            elif mv[f] is None:
+                masks[(e, f)] = mu[e]
+            else:
+                masks[(e, f)] = mu[e] * mv[f]
+    return masks
+
+
+def _tap(x, row0, nrows, e, f, masks):
+    """One window tap: sublane block [row0:row0+nrows] of x, coarse-shifted
+    by (e, f) with tile-edge zeroing."""
+    blk = x[row0:row0 + nrows, :]
+    y = _lane_shift(blk, e * CT + f)
+    m = masks[(e, f)]
+    return y if m is None else y * m
+
+
+def _gather_q(x, slots, nrows, masks):
+    """Assemble the K-side operand: concat of taps in slot order."""
+    return jnp.concatenate(
+        [_tap(x, r * nrows, nrows, e, f, masks) for (r, e, f) in slots], axis=0
+    )
+
+
+def _mm(lhs, rhs):
+    return jax.lax.dot_general(
+        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _phase_max(z):
+    """relu + max over the 4 phase row-blocks: (128, n) f32 -> (32, n)."""
+    z = jax.nn.relu(z)
+    return jnp.maximum(
+        jnp.maximum(z[0:32], z[32:64]), jnp.maximum(z[64:96], z[96:128])
+    )
+
+
+def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
+    l2_slots = _l2_slots()
+    l3_slots = [
+        (0, wts.e3 + i, wts.e3 + j)
+        for i in range(wts.wz3) for j in range(wts.wz3)
+    ]
+
+    def kernel(x16_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+               w4_ref, b4_ref, w5_ref, b5_ref, o_ref):
+        masks = _make_masks(nb, dtype)
+        x16 = x16_ref[:]
+
+        # L1: conv1 + relu + pool, one matmul per fine parity.  The K
+        # operand is the concat of FULL shifted x16 copies (single-row
+        # lane-shifted slices are illegal under Mosaic); the row selection
+        # lives in the host-scattered w1 (see _l1_weight).
+        shifted = {
+            (e, f): _tap(x16, 0, 16, e, f, masks)
+            for e in (-1, 0, 1) for f in (-1, 0, 1)
+        }
+        p1_parts = []
+        for p in range(2):
+            for q in range(2):
+                es, fs = _l1_shift_sets(p, q)
+                q1 = jnp.concatenate(
+                    [shifted[(e, f)] for e in es for f in fs], axis=0
+                )                                                # (64, nb)
+                z1 = _mm(w1_ref[(p * 2 + q) * 128:(p * 2 + q + 1) * 128, :],
+                         q1) + b1_ref[:]
+                p1_parts.append(_phase_max(z1).astype(dtype))
+        p1_4 = jnp.concatenate(p1_parts, axis=0)                 # (128, nb)
+
+        # L2: conv2 + relu + pool (base grid == coarse lanes)
+        q2 = _gather_q(p1_4, l2_slots, 32, masks)                # (512, nb)
+        z2 = _mm(w2_ref[:], q2) + b2_ref[:]
+        p2 = _phase_max(z2).astype(dtype)                        # (32, nb)
+
+        # L3: convT2 + relu -> 4 fine-parity planes directly
+        q3 = _gather_q(p2, l3_slots, 32, masks)                  # (wz3^2*32, nb)
+        d4 = jax.nn.relu(_mm(w3_ref[:], q3) + b3_ref[:]).astype(dtype)
+
+        # L4: convT1 + relu -> e16 in production order (p, q, a, b, c)
+        e_parts = []
+        for p in range(2):
+            for q in range(2):
+                q4 = _gather_q(d4, _l4_slots(p, q, wts.e4, wts.wz4), 32, masks)
+                z4 = jax.nn.relu(_mm(w4_ref[:], q4) + b4_ref[:]).astype(dtype)
+                e_parts.append(z4)
+        e16 = jnp.concatenate(e_parts, axis=0)                   # (512, nb)
+
+        # L5: out conv + sigmoid -> o16 in production order (p, q, a, b)
+        o_parts = []
+        for p in range(2):
+            for q in range(2):
+                q5 = _gather_q(e16, _l5_slots(p, q), 32, masks)  # (512, nb)
+                z5 = _mm(w5_ref[:], q5) + b5_ref[:]              # (4, nb)
+                o_parts.append(jax.nn.sigmoid(z5))
+        o_ref[:] = jnp.concatenate(o_parts, axis=0).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pallas_ae(x16, wts: AEKernelWeights, block_tiles: int, interpret: bool,
+               out_dtype=jnp.float32):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = x16.shape[1]
+    nb = block_tiles * LANES
+    kern = _make_kernel(wts, nb, x16.dtype)
+    k3 = wts.wz3 * wts.wz3 * 32
+    k4 = wts.wz4 * wts.wz4 * 32
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, m), out_dtype),
+        grid=(m // nb,),
+        in_specs=[
+            pl.BlockSpec((16, nb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            fixed((512, 64)), fixed((128, 1)),
+            fixed((128, 512)), fixed((128, 1)),
+            fixed((128, k3)), fixed((128, 1)),
+            fixed((128, k4)), fixed((128, 1)),
+            fixed((4, 512)), fixed((4, 1)),
+        ],
+        out_specs=pl.BlockSpec((16, nb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x16, wts.w1t, wts.b1, wts.w2t, wts.b2, wts.w3t, wts.b3,
+      wts.w4t, wts.b4, wts.w5t, wts.b5)
+
+
+@functools.partial(jax.jit, static_argnames=("block_tiles", "interpret", "out_dtype"))
+def ae_kernel_apply(wts: AEKernelWeights, tiles: jax.Array,
+                    block_tiles: int = 1, interpret: bool = False,
+                    out_dtype=jnp.float32) -> jax.Array:
+    """(B, 256, 128, 1) tiles -> (B, 256, 128, 1) sigmoid probabilities.
+
+    Drop-in replacement for ``ConvAutoencoder.apply`` (inference, flagship
+    geometry); all five layers run in one Pallas kernel, activations never
+    leave VMEM.  ``B`` must be a multiple of ``block_tiles``.
+    """
+    b = tiles.shape[0]
+    x16 = tiles_to_x16(tiles, jnp.bfloat16)
+    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype)
+    return o16_to_tiles(o16, b)
+
+
+@functools.partial(jax.jit, static_argnames=("k_tiles", "block_tiles",
+                                              "interpret", "out_dtype"))
+def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
+                            k_tiles: int, block_tiles: int = 1,
+                            interpret: bool = False,
+                            out_dtype=jnp.float32) -> jax.Array:
+    """(C, 256, T) spectrograms -> (C, 256, k*128) restitched enhancement:
+    the serving fast path — one layout copy in, the fused kernel, one
+    layout copy out (equivalent to patch -> apply -> unpatch)."""
+    c = specs.shape[0]
+    x16 = specs_to_x16(specs, k_tiles)
+    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype)
+    return o16_to_specs(o16, c, k_tiles)
