@@ -380,16 +380,25 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
                 q4 = _gather_q(d4, _l4_slots(p, q, wts.e4, wts.wz4), 32, masks)
                 z4 = jax.nn.relu(_mm(w4_ref[:], q4) + b4_ref[:]).astype(dtype)
                 e_parts.append(z4)
-        e16 = jnp.concatenate(e_parts, axis=0)                   # (512, nb)
 
-        # L5: out conv + sigmoid -> o16 in production order (p, q, a, b)
-        o_parts = []
+        # L5: out conv + sigmoid -> o16 in production order (p, q, a, b).
+        # Taps index straight into the four convT1 outputs (block // 4 picks
+        # the producing parity, block % 4 the phase rows) — no e16 concat
+        # buffer.
         for p in range(2):
             for q in range(2):
-                q5 = _gather_q(e16, _l5_slots(p, q), 32, masks)  # (512, nb)
+                q5 = jnp.concatenate(
+                    [
+                        _tap(e_parts[blk // 4], (blk % 4) * 32, 32, e, f, masks)
+                        for (blk, e, f) in _l5_slots(p, q)
+                    ],
+                    axis=0,
+                )                                                # (512, nb)
                 z5 = _mm(w5_ref[:], q5) + b5_ref[:]              # (4, nb)
-                o_parts.append(jax.nn.sigmoid(z5))
-        o_ref[:] = jnp.concatenate(o_parts, axis=0).astype(o_ref.dtype)
+                pi = p * 2 + q
+                o_ref[pi * 4:(pi + 1) * 4, :] = jax.nn.sigmoid(z5).astype(
+                    o_ref.dtype
+                )
 
     return kernel
 
