@@ -235,18 +235,37 @@ def specs_to_x16(specs: jax.Array, k_tiles: int, dtype=jnp.bfloat16) -> jax.Arra
     return x.reshape(c * k_tiles * LANES, 16).T
 
 
+@functools.lru_cache(maxsize=1)
+def _scatter_kernel_4x4():
+    """One-hot conv_transpose kernel scattering production-order parity
+    channel ch=(p,q,a,b) to natural offset (phi, xi) = (2p+a, 2q+b).
+    lax.conv_transpose flips the kernel (impulse-probed: W[i, j] lands at
+    stride*s + (3-i)), hence the 3- indices."""
+    w = np.zeros((4, 4, 16, 1), np.float32)
+    for ch in range(16):
+        p, q, a, b = (ch >> 3) & 1, (ch >> 2) & 1, (ch >> 1) & 1, ch & 1
+        w[3 - (2 * p + a), 3 - (2 * q + b), ch, 0] = 1.0
+    return jnp.asarray(w)
+
+
 def o16_to_specs(o16: jax.Array, c: int, k_tiles: int) -> jax.Array:
     """(16, C*k*2048) parity rows (production order) -> (C, 256, k*128)
     restitched enhancement.
 
-    Channelize-first form: one 3-D transpose pulling the 16 parity rows
-    minor, then the parity interleave — measured 1.5x the direct 8-D
-    transpose on v5e."""
-    m = o16.shape[1]
-    x = o16.reshape(16, m // LANES, LANES).transpose(1, 2, 0)  # (B, 2048, 16)
-    x = x.reshape(c, k_tiles, CS, CT, 2, 2, 2, 2)       # (c,k,s,t,p,q,a,b)
-    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)             # (c,s,p,a,k,t,q,b)
-    return x.reshape(c, 256, k_tiles * 128)
+    The 16-way parity interleave runs as a stride-4 one-hot conv_transpose
+    at Precision.HIGHEST (exact 0/1 scatter on the MXU) — 2.05 ms for a
+    600-tile shot vs 2.84 for the best pure-transpose form (XLA TPU
+    transposes run at ~150 GB/s; the conv engine does the scatter at
+    memory speed)."""
+    b = o16.shape[1] // LANES
+    x = o16.reshape(16, b, LANES).transpose(1, 2, 0)     # (B, 2048, 16)
+    y = jax.lax.conv_transpose(
+        x.reshape(b, CS, CT, 16), _scatter_kernel_4x4(), strides=(4, 4),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                    # (B, 256, 128, 1)
+    t = jnp.squeeze(y, -1).reshape(c, k_tiles, 256, 128)
+    return t.transpose(0, 2, 1, 3).reshape(c, 256, k_tiles * 128)
 
 
 def o16_to_tiles(o16: jax.Array, b: int) -> jax.Array:
