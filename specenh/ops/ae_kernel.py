@@ -473,13 +473,20 @@ def ae_kernel_apply(wts: AEKernelWeights, tiles: jax.Array,
 @functools.partial(jax.jit, static_argnames=("k_tiles", "block_tiles",
                                               "interpret", "out_dtype"))
 def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
-                            k_tiles: int, block_tiles: int = 1,
+                            k_tiles: int, block_tiles: int = 0,
                             interpret: bool = False,
                             out_dtype=jnp.float32) -> jax.Array:
     """(C, 256, T) spectrograms -> (C, 256, k*128) restitched enhancement:
     the serving fast path — one layout copy in, the fused kernel, one
-    layout copy out (equivalent to patch -> apply -> unpatch)."""
+    layout copy out (equivalent to patch -> apply -> unpatch).
+
+    ``block_tiles=0`` picks the largest of (3, 2, 1) dividing the tile
+    count (3 measured ~5% faster than 1 on v5e; larger blocks exceed
+    VMEM)."""
     c = specs.shape[0]
+    if block_tiles == 0:
+        n = c * k_tiles
+        block_tiles = 3 if n % 3 == 0 else (2 if n % 2 == 0 else 1)
     x16 = specs_to_x16(specs, k_tiles)
     o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype)
     return o16_to_specs(o16, c, k_tiles)
