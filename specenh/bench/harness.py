@@ -90,13 +90,18 @@ def make_enhance_shot_fn(
             specs = spectrogram(traces, sp, precision=stft_prec)
             return specs, ae_kernel_enhance_specs(wts, specs, k_tiles)
 
+        # cache the host-scattered kernel weights per params object; the
+        # strong reference to params prevents id() reuse after GC
         wts_cache = {}
 
         def fn(params, traces):
-            key = id(params)
-            if key not in wts_cache:
-                wts_cache[key] = build_kernel_weights(params, model_cfg)
-            return enhance_shot_kernel(wts_cache[key], traces)
+            hit = wts_cache.get(id(params))
+            if hit is None or hit[0] is not params:
+                wts_cache.clear()
+                wts_cache[id(params)] = (
+                    params, build_kernel_weights(params, model_cfg)
+                )
+            return enhance_shot_kernel(wts_cache[id(params)][1], traces)
 
         return fn
 
