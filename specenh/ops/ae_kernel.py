@@ -314,11 +314,18 @@ def _lane_shift(x, sh):
     return jnp.concatenate([jnp.zeros((k, -sh), x.dtype), x[:, :sh]], axis=1)
 
 
-def _make_masks(nb, dtype):
+def _make_masks(nb, dtype, ss=CT):
     """0/1 row-vectors (1, nb) per (e, f) in {-1,0,1}^2 zeroing taps that
-    fall outside the tile (period LANES); (0,0) maps to None (no mask)."""
+    fall outside the tile; (0,0) maps to None (no mask).
+
+    ``ss`` is the lane stride of one coarse-freq step: 32 for the classic
+    per-tile lane grid (lane = s*32 + t), 32*I for the I-way interleaved
+    grid (lane = s*(32*I) + j*32 + t, j = tile-within-group) that gives the
+    corner-turn DMAs full 128-lane windows.  Tile edges in t sit at every
+    32 lanes and in s at every ``ss`` lanes either way — the interleave
+    index j never enters the masks."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    s = jax.lax.shift_right_logical(lane, 5) & jnp.int32(CS - 1)  # CT = 32
+    s = (lane // jnp.int32(ss)) & jnp.int32(CS - 1)
     t = lane & jnp.int32(CT - 1)
     mu = {
         -1: (s >= 1).astype(dtype), 0: None,
@@ -342,19 +349,20 @@ def _make_masks(nb, dtype):
     return masks
 
 
-def _tap(x, row0, nrows, e, f, masks):
+def _tap(x, row0, nrows, e, f, masks, ss=CT):
     """One window tap: sublane block [row0:row0+nrows] of x, coarse-shifted
-    by (e, f) with tile-edge zeroing."""
+    by (e, f) with tile-edge zeroing (``ss`` = lane stride of one s step)."""
     blk = x[row0:row0 + nrows, :]
-    y = _lane_shift(blk, e * CT + f)
+    y = _lane_shift(blk, e * ss + f)
     m = masks[(e, f)]
     return y if m is None else y * m
 
 
-def _gather_q(x, slots, nrows, masks):
+def _gather_q(x, slots, nrows, masks, ss=CT):
     """Assemble the K-side operand: concat of taps in slot order."""
     return jnp.concatenate(
-        [_tap(x, r * nrows, nrows, e, f, masks) for (r, e, f) in slots], axis=0
+        [_tap(x, r * nrows, nrows, e, f, masks, ss) for (r, e, f) in slots],
+        axis=0,
     )
 
 
@@ -372,7 +380,7 @@ def _phase_max(z):
     )
 
 
-def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
+def _make_kernel(wts: AEKernelWeights, nb: int, dtype, ss: int = CT):
     l2_slots = _l2_slots()
     l3_slots = [
         (0, wts.e3 + i, wts.e3 + j)
@@ -381,7 +389,7 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
 
     def kernel(x16_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                w4_ref, b4_ref, w5_ref, b5_ref, o_ref):
-        masks = _make_masks(nb, dtype)
+        masks = _make_masks(nb, dtype, ss)
         x16 = x16_ref[:]
 
         # L1: conv1 + relu + pool, one matmul per fine parity.  The K
@@ -389,7 +397,7 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
         # lane-shifted slices are illegal under Mosaic); the row selection
         # lives in the host-scattered w1 (see _l1_weight).
         shifted = {
-            (e, f): _tap(x16, 0, 16, e, f, masks)
+            (e, f): _tap(x16, 0, 16, e, f, masks, ss)
             for e in (-1, 0, 1) for f in (-1, 0, 1)
         }
         p1_parts = []
@@ -405,19 +413,19 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
         p1_4 = jnp.concatenate(p1_parts, axis=0)                 # (128, nb)
 
         # L2: conv2 + relu + pool (base grid == coarse lanes)
-        q2 = _gather_q(p1_4, l2_slots, 32, masks)                # (512, nb)
+        q2 = _gather_q(p1_4, l2_slots, 32, masks, ss)                # (512, nb)
         z2 = _mm(w2_ref[:], q2) + b2_ref[:]
         p2 = _phase_max(z2).astype(dtype)                        # (32, nb)
 
         # L3: convT2 + relu -> 4 fine-parity planes directly
-        q3 = _gather_q(p2, l3_slots, 32, masks)                  # (wz3^2*32, nb)
+        q3 = _gather_q(p2, l3_slots, 32, masks, ss)                  # (wz3^2*32, nb)
         d4 = jax.nn.relu(_mm(w3_ref[:], q3) + b3_ref[:]).astype(dtype)
 
         # L4: convT1 + relu -> e16 in production order (p, q, a, b, c)
         e_parts = []
         for p in range(2):
             for q in range(2):
-                q4 = _gather_q(d4, _l4_slots(p, q, wts.e4, wts.wz4), 32, masks)
+                q4 = _gather_q(d4, _l4_slots(p, q, wts.e4, wts.wz4), 32, masks, ss)
                 z4 = jax.nn.relu(_mm(w4_ref[:], q4) + b4_ref[:]).astype(dtype)
                 e_parts.append(z4)
 
@@ -429,7 +437,7 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
             for q in range(2):
                 q5 = jnp.concatenate(
                     [
-                        _tap(e_parts[blk // 4], (blk % 4) * 32, 32, e, f, masks)
+                        _tap(e_parts[blk // 4], (blk % 4) * 32, 32, e, f, masks, ss)
                         for (blk, e, f) in _l5_slots(p, q)
                     ],
                     axis=0,
@@ -444,13 +452,13 @@ def _make_kernel(wts: AEKernelWeights, nb: int, dtype):
 
 
 def _pallas_ae(x16, wts: AEKernelWeights, block_tiles: int, interpret: bool,
-               out_dtype=jnp.float32):
+               out_dtype=jnp.float32, ss=CT):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = x16.shape[1]
     nb = block_tiles * LANES
-    kern = _make_kernel(wts, nb, x16.dtype)
+    kern = _make_kernel(wts, nb, x16.dtype, ss)
     k3 = wts.wz3 * wts.wz3 * 32
     k4 = wts.wz4 * wts.wz4 * 32
 
@@ -471,6 +479,9 @@ def _pallas_ae(x16, wts: AEKernelWeights, block_tiles: int, interpret: bool,
         ],
         out_specs=pl.BlockSpec((16, nb), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
+        # blocks >3 tiles exceed Mosaic's default 16M scoped-vmem budget
+        # (the interleaved 6-tile block needs ~28M of the chip's 128M)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(x16, wts.w1t, wts.b1, wts.w2t, wts.b2, wts.w3t, wts.b3,
       wts.w4t, wts.b4, wts.w5t, wts.b5)
 
@@ -498,16 +509,25 @@ def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
                             interpret: bool = False,
                             out_dtype=jnp.float32) -> jax.Array:
     """(C, 256, T) spectrograms -> (C, 256, k*128) restitched enhancement:
-    the serving fast path — one layout copy in, the fused kernel, one
-    layout copy out (equivalent to patch -> apply -> unpatch).
+    the serving fast path — Pallas corner-turn in, the fused kernel, Pallas
+    corner-turn out (equivalent to patch -> apply -> unpatch).
 
-    ``block_tiles=0`` picks the largest of (3, 2, 1) dividing the tile
-    count (3 measured ~5% faster than 1 on v5e; larger blocks exceed
-    VMEM)."""
+    Layouts are interleaved I tiles per group (specenh.ops.parity_turn) so
+    every corner-turn DMA window is >=96 lanes; the kernel runs with lane
+    stride ``ss = 32*I``.  ``block_tiles=0`` processes one group per grid
+    step; explicit values must be multiples of the group size."""
+    from specenh.ops.parity_turn import (
+        o16i_to_specs,
+        pick_interleave,
+        specs_to_x16i,
+    )
+
     c = specs.shape[0]
+    i_ = pick_interleave(k_tiles)
     if block_tiles == 0:
-        n = c * k_tiles
-        block_tiles = 3 if n % 3 == 0 else (2 if n % 2 == 0 else 1)
-    x16 = specs_to_x16(specs, k_tiles)
-    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype)
-    return o16_to_specs(o16, c, k_tiles)
+        block_tiles = i_
+    if block_tiles % i_:
+        raise ValueError(f"block_tiles must be a multiple of the group size {i_}")
+    x16 = specs_to_x16i(specs, k_tiles, i_, interpret).reshape(16, -1)
+    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype, ss=i_ * CT)
+    return o16i_to_specs(o16, c, k_tiles, i_, interpret)

@@ -1,0 +1,89 @@
+"""Corner-turn Pallas kernels vs the XLA layout paths — interpret mode.
+
+The interleaved layout groups I consecutive tiles per parity piece
+(lane = s*32*I + j*32 + t); ground truth is the classic per-tile layout
+(specenh.ops.ae_kernel.specs_to_x16 / o16_to_specs) regrouped in numpy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from specenh.ops.ae_kernel import o16_to_specs, specs_to_x16
+from specenh.ops.parity_turn import (
+    o16i_to_specs,
+    pick_interleave,
+    specs_to_x16i,
+)
+
+
+def _regroup(x16: np.ndarray, g: int, i_: int) -> np.ndarray:
+    """classic (16, B*2048) -> interleaved (16, G, 64, I*32)."""
+    return (
+        x16.reshape(16, g, i_, 64, 32).transpose(0, 1, 3, 2, 4)
+        .reshape(16, g, 64, i_ * 32)
+    )
+
+
+def test_pick_interleave():
+    assert pick_interleave(30) == 6
+    assert pick_interleave(8) == 4
+    assert pick_interleave(9) == 3
+    assert pick_interleave(2) == 2
+    assert pick_interleave(7) == 1
+
+
+@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 3)])
+def test_specs_to_x16i_exact(c, k):
+    rng = np.random.default_rng(7)
+    i_ = pick_interleave(k)
+    specs = jnp.asarray(rng.random((c, 256, k * 128 + 40)), jnp.float32)
+    got = np.asarray(specs_to_x16i(specs, k, interpret=True), np.float32)
+    b = c * k
+    assert got.shape == (16, b // i_, 64, i_ * 32)
+    classic = np.asarray(specs_to_x16(specs, k_tiles=k), np.float32)
+    np.testing.assert_array_equal(got, _regroup(classic, b // i_, i_))
+
+
+@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4)])
+def test_o16i_to_specs_close(c, k):
+    rng = np.random.default_rng(3)
+    i_ = pick_interleave(k)
+    b = c * k
+    o16 = rng.random((16, b * 2048)).astype(np.float32)
+    o16i = _regroup(o16, b // i_, i_).reshape(16, -1)
+    got = o16i_to_specs(jnp.asarray(o16i), c=c, k_tiles=k, interpret=True)
+    want = o16_to_specs(jnp.asarray(o16), c=c, k_tiles=k)
+    assert got.shape == want.shape == (c, 256, k * 128)
+    # hi/lo bf16 split reconstructs f32 to ~2^-17 relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
+
+
+def test_enhance_specs_end_to_end_matches_flax():
+    """Full serving fast path (turn-in -> fused kernel -> turn-out) vs the
+    Flax model on patch/unpatch, interpret mode."""
+    import jax
+
+    from specenh.config import ModelConfig
+    from specenh.data.tiles import patch, unpatch
+    from specenh.models.autoencoder import make_model
+    from specenh.ops.ae_kernel import ae_kernel_enhance_specs, build_kernel_weights
+
+    rng = np.random.default_rng(11)
+    cfg = ModelConfig()
+    model = make_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    wts = build_kernel_weights(params, cfg)
+    specs = jnp.asarray(rng.random((2, 256, 6 * 128 + 17)), jnp.float32)
+
+    got = ae_kernel_enhance_specs(wts, specs, k_tiles=6, interpret=True)
+
+    tiles = patch(specs)[..., None]
+    pred = model.apply(params, tiles)
+    want = unpatch(jnp.squeeze(pred, -1), tiles_per_spec=6)
+    assert got.shape == want.shape
+    # bf16 kernel vs f32 Flax: same tolerance as the classic-layout kernel
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 5e-3, err
