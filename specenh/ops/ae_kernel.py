@@ -76,9 +76,9 @@ def _l1_weight(plan_w1: np.ndarray, p: int, q: int) -> np.ndarray:
     The kernel's K operand is the concat of the four FULL shifted x16
     copies X_(e,f) (16 rows each, (e, f) in E_p x F_q order); single-row
     gathers are illegal lane-shifted slices under Mosaic, so the row
-    selection is folded in here: column (ei*2 + fi)*16 + (phi*4 + xi)
+    selection is folded in here: column (ei*2 + fi)*16 + (xi*4 + phi)
     carries the weight of window tap (rho, sigma) that lands on that
-    (shift, parity-row) pair.
+    (shift, parity-row) pair.  x16 rows are xi-major (see tiles_to_x16).
     """
     es, fs = _l1_shift_sets(p, q)
     out = np.zeros((128, len(es) * len(fs) * 16), np.float32)
@@ -88,7 +88,7 @@ def _l1_weight(plan_w1: np.ndarray, p: int, q: int) -> np.ndarray:
         for sigma in range(4):
             dx = 2 * q - 1 + sigma
             xi, f = dx % 4, dx // 4
-            col = (es.index(e) * len(fs) + fs.index(f)) * 16 + phi * 4 + xi
+            col = (es.index(e) * len(fs) + fs.index(f)) * 16 + xi * 4 + phi
             out[:, col] = plan_w1[rho * 4 + sigma, :]
     return out
 
@@ -214,21 +214,26 @@ def build_kernel_weights(params, cfg: ModelConfig = ModelConfig(),
 
 
 def tiles_to_x16(tiles: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(B, 256, 128, 1) NHWC tiles -> (16, B*2048) full-res parity rows."""
+    """(B, 256, 128, 1) NHWC tiles -> (16, B*2048) full-res parity rows.
+
+    Row order is TIME-PARITY MAJOR (row = xi*4 + phi): natural spectrogram
+    rows are already s-major (y = 4s + phi), so the xi-major convention
+    lets the Pallas corner-turn build each coarse-s block of 16 rows from
+    plain 4-row sublane slices — no row-permutation matmul."""
     b = tiles.shape[0]
     x = jnp.squeeze(tiles, -1).astype(dtype)            # (B, 256, 128)
     x = x.reshape(b, CS, 4, CT, 4)
-    x = x.transpose(2, 4, 0, 1, 3)                      # (4, 4, B, 64, 32)
+    x = x.transpose(4, 2, 0, 1, 3)                      # (xi, phi, B, 64, 32)
     return x.reshape(16, b * LANES)
 
 
 @functools.lru_cache(maxsize=1)
 def _gather_kernel_4x4():
     """One-hot stride-4 conv kernel gathering natural offset (phi, xi) into
-    channel ch = phi*4 + xi (forward conv = cross-correlation, no flip)."""
+    channel ch = xi*4 + phi (forward conv = cross-correlation, no flip)."""
     w = np.zeros((4, 4, 1, 16), np.float32)
     for ch in range(16):
-        w[ch // 4, ch % 4, 0, ch] = 1.0
+        w[ch % 4, ch // 4, 0, ch] = 1.0
     return jnp.asarray(w, jnp.bfloat16)
 
 
@@ -517,9 +522,9 @@ def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
     stride ``ss = 32*I``.  ``block_tiles=0`` processes one group per grid
     step; explicit values must be multiples of the group size."""
     from specenh.ops.parity_turn import (
-        o16i_to_specs,
+        o16_2d_to_specs,
         pick_interleave,
-        specs_to_x16i,
+        specs_to_x16_2d,
     )
 
     c = specs.shape[0]
@@ -528,6 +533,6 @@ def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
         block_tiles = i_
     if block_tiles % i_:
         raise ValueError(f"block_tiles must be a multiple of the group size {i_}")
-    x16 = specs_to_x16i(specs, k_tiles, i_, interpret).reshape(16, -1)
+    x16 = specs_to_x16_2d(specs, k_tiles, i_, interpret)
     o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype, ss=i_ * CT)
-    return o16i_to_specs(o16, c, k_tiles, i_, interpret)
+    return o16_2d_to_specs(o16, c, k_tiles, i_, interpret)

@@ -40,12 +40,13 @@ def test_supports():
 
 
 def test_layout_roundtrip(setup):
-    """tiles -> x16 (phi, xi rows) -> permute to production order (p,q,a,b)
-    -> o16_to_tiles must reproduce the tiles exactly."""
+    """tiles -> x16 (xi-major rows: row = xi*4 + phi) -> permute to
+    production order (p,q,a,b) -> o16_to_tiles must reproduce the tiles
+    exactly."""
     _, _, tiles = setup
     x16 = np.asarray(tiles_to_x16(tiles, jnp.float32))
     perm = [
-        (2 * p + a) * 4 + (2 * q + b)
+        (2 * q + b) * 4 + (2 * p + a)
         for p in range(2) for q in range(2) for a in range(2) for b in range(2)
     ]
     back = o16_to_tiles(jnp.asarray(x16[perm]), tiles.shape[0])

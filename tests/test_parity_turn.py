@@ -1,8 +1,9 @@
 """Corner-turn Pallas kernels vs the XLA layout paths — interpret mode.
 
-The interleaved layout groups I consecutive tiles per parity piece
-(lane = s*32*I + j*32 + t); ground truth is the classic per-tile layout
-(specenh.ops.ae_kernel.specs_to_x16 / o16_to_specs) regrouped in numpy.
+The 2-D kernels speak the AE kernel's (16, m) form with lanes interleaved
+I tiles per group (lane = s*32*I + j*32 + t); ground truth is the classic
+per-tile layout (specenh.ops.ae_kernel.specs_to_x16 / o16_to_specs,
+I = 1 lane order) regrouped in numpy.
 """
 
 import jax.numpy as jnp
@@ -11,17 +12,17 @@ import pytest
 
 from specenh.ops.ae_kernel import o16_to_specs, specs_to_x16
 from specenh.ops.parity_turn import (
-    o16i_to_specs,
+    o16_2d_to_specs,
     pick_interleave,
-    specs_to_x16i,
+    specs_to_x16_2d,
 )
 
 
 def _regroup(x16: np.ndarray, g: int, i_: int) -> np.ndarray:
-    """classic (16, B*2048) -> interleaved (16, G, 64, I*32)."""
+    """classic per-tile lane order (16, B*2048) -> interleaved (16, m)."""
     return (
         x16.reshape(16, g, i_, 64, 32).transpose(0, 1, 3, 2, 4)
-        .reshape(16, g, 64, i_ * 32)
+        .reshape(16, -1)
     )
 
 
@@ -34,25 +35,25 @@ def test_pick_interleave():
 
 
 @pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 3)])
-def test_specs_to_x16i_exact(c, k):
+def test_specs_to_x16_2d_exact(c, k):
     rng = np.random.default_rng(7)
     i_ = pick_interleave(k)
     specs = jnp.asarray(rng.random((c, 256, k * 128 + 40)), jnp.float32)
-    got = np.asarray(specs_to_x16i(specs, k, interpret=True), np.float32)
+    got = np.asarray(specs_to_x16_2d(specs, k, interpret=True), np.float32)
     b = c * k
-    assert got.shape == (16, b // i_, 64, i_ * 32)
+    assert got.shape == (16, b * 2048)
     classic = np.asarray(specs_to_x16(specs, k_tiles=k), np.float32)
     np.testing.assert_array_equal(got, _regroup(classic, b // i_, i_))
 
 
 @pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4)])
-def test_o16i_to_specs_close(c, k):
+def test_o16_2d_to_specs_close(c, k):
     rng = np.random.default_rng(3)
     i_ = pick_interleave(k)
     b = c * k
     o16 = rng.random((16, b * 2048)).astype(np.float32)
-    o16i = _regroup(o16, b // i_, i_).reshape(16, -1)
-    got = o16i_to_specs(jnp.asarray(o16i), c=c, k_tiles=k, interpret=True)
+    o16i = _regroup(o16, b // i_, i_)
+    got = o16_2d_to_specs(jnp.asarray(o16i), c=c, k_tiles=k, interpret=True)
     want = o16_to_specs(jnp.asarray(o16), c=c, k_tiles=k)
     assert got.shape == want.shape == (c, 256, k * 128)
     # hi/lo bf16 split reconstructs f32 to ~2^-17 relative
