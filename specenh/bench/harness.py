@@ -33,6 +33,7 @@ def make_enhance_shot_fn(
     mesh=None,
     axis: str = "data",
     use_kernel: object = "auto",
+    interpret: bool = False,
 ) -> Callable:
     """Returns jitted fn(params, traces) -> (specs, enhanced):
     traces (C, n_samples) -> specs (C, 256, 3905), enhanced (C, 256, 3840).
@@ -50,8 +51,13 @@ def make_enhance_shot_fn(
 
     With ``mesh`` given, the service scales out: channels are sharded over
     ``axis`` (params replicated) and each chip enhances its slice — the
-    multi-chip serving configuration (channels must divide the axis size);
-    the Flax path is used there (the fused kernel is single-chip for now).
+    multi-chip serving configuration (channels must divide the axis size).
+    The fused kernel rides ``shard_map`` there: every device runs the same
+    single-chip Pallas program on its channel block (the service has no
+    cross-channel coupling — STFT min-max is per-channel — so no
+    collectives are needed).
+
+    ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
     """
     model = make_model(model_cfg, dtype=dtype)
     # bf16 single-pass STFT: SSIM 0.99993 vs the golden HIGHEST path (gate
@@ -73,7 +79,6 @@ def make_enhance_shot_fn(
 
     kernel_on = use_kernel is True or (
         use_kernel == "auto"
-        and mesh is None
         and dtype == jnp.bfloat16
         and _kernel_supports(model_cfg)
         and jax.default_backend() not in ("cpu",)
@@ -85,10 +90,30 @@ def make_enhance_shot_fn(
             build_kernel_weights,
         )
 
-        @jax.jit
-        def enhance_shot_kernel(wts, traces):
+        def kernel_body(wts, traces):
             specs = spectrogram(traces, sp, precision=stft_prec)
-            return specs, ae_kernel_enhance_specs(wts, specs, k_tiles)
+            return specs, ae_kernel_enhance_specs(
+                wts, specs, k_tiles, interpret=interpret
+            )
+
+        if mesh is None:
+            enhance_shot_kernel = jax.jit(kernel_body)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            enhance_shot_kernel = jax.jit(
+                shard_map(
+                    kernel_body,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                    # pallas_call outputs carry no varying-mesh-axes info,
+                    # so the vma checker can't see them; the body is
+                    # per-channel (no collectives), replication is trivial
+                    check_vma=False,
+                )
+            )
 
         # cache the host-scattered kernel weights per params object; the
         # strong reference to params prevents id() reuse after GC

@@ -151,6 +151,30 @@ def test_multichip_serving_matches_single(mesh8):
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-5)
 
 
+def test_multichip_serving_kernel_matches_single(mesh8):
+    """The fused Pallas kernel service sharded over channels (shard_map)
+    must equal the single-device kernel service — every device runs the
+    same per-channel program on its block."""
+    from specenh.bench.harness import make_enhance_shot_fn
+    from specenh.models.autoencoder import make_model
+
+    sp = SpecParams(cut_shot=0.1)
+    cfg = ModelConfig()
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    rng = np.random.default_rng(13)
+    traces = jnp.asarray(rng.standard_normal((8, sp.n_samples)), jnp.float32)
+    f1 = make_enhance_shot_fn(cfg, sp, use_kernel=True, interpret=True)
+    fm = make_enhance_shot_fn(
+        cfg, sp, use_kernel=True, interpret=True, mesh=mesh8
+    )
+    s1, e1 = f1(params, traces)
+    s2, e2 = fm(params, traces)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-6)
+
+
 def test_composed_long_shot_program(tmesh8):
     """ONE shard_map program: time-sharded STFT -> sharded pipeline ->
     tile-sharded conv-AE -> restitch, vs the same ops unsharded (<=1e-5)."""
