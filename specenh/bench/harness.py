@@ -51,7 +51,8 @@ def make_enhance_shot_fn(
 
     With ``mesh`` given, the service scales out: channels are sharded over
     ``axis`` (params replicated) and each chip enhances its slice — the
-    multi-chip serving configuration (channels must divide the axis size).
+    multi-chip serving configuration (the axis size must divide the
+    channel count).
     The fused kernel rides ``shard_map`` there: every device runs the same
     single-chip Pallas program on its channel block (the service has no
     cross-channel coupling — STFT min-max is per-channel — so no

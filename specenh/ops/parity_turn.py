@@ -48,7 +48,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from specenh.ops.ae_kernel import CS, CT, LANES
+from specenh.ops.ae_kernel import CS, CT, LANES, _mm
 
 __all__ = ["pick_interleave", "specs_to_x16_2d", "o16_2d_to_specs"]
 
@@ -84,12 +84,6 @@ def _colscat2(xi: int, i_: int):
     return (c == (rr >> 5) * 128 + 4 * (rr & (CT - 1)) + xi).astype(jnp.bfloat16)
 
 
-def _mm(lhs, rhs):
-    return jax.lax.dot_general(
-        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
 def _prod_row(phi: int, xi: int) -> int:
     """o16 production-order row for full-res parity (phi, xi)."""
     return 8 * (phi >> 1) + 4 * (xi >> 1) + 2 * (phi & 1) + (xi & 1)
@@ -101,8 +95,6 @@ def _prod_row(phi: int, xi: int) -> int:
 
 
 def _make_turn_in_kernel(i_: int):
-    w = i_ * CT
-
     def kernel(s_ref, o_ref):
         nat = s_ref[0].astype(jnp.bfloat16)  # (256, I*128), exact bf16 cast
         sel = [
@@ -129,6 +121,11 @@ def specs_to_x16_2d(specs: jax.Array, k_tiles: int, interleave: int = 0,
 
     c = specs.shape[0]
     i_ = interleave or pick_interleave(k_tiles)
+    if k_tiles % i_:
+        raise ValueError(
+            f"interleave {i_} must divide k_tiles {k_tiles} (every group "
+            "stays inside one channel)"
+        )
     gpc = k_tiles // i_
     g = c * gpc
     return pl.pallas_call(
@@ -167,8 +164,18 @@ def _make_turn_out_kernel(i_: int, gpc: int):
                 r = _prod_row(phi, xi)
                 rows[xi * 4 + phi] = v[r:r + 1, :]
         r16 = jnp.concatenate(rows, axis=0)  # (16, k*2048)
-        hi = r16.astype(jnp.bfloat16)
-        lo = (r16 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # hi/lo split by BITMASK, not cast-and-subtract: under
+        # --xla_allow_excess_precision (set on this TPU host) interpret
+        # mode elides the f32->bf16->f32 round trip, making lo == 0 and
+        # silently degrading the turn to hi-only (~2e-3).  Truncating the
+        # low mantissa bits is immune and keeps hi exactly
+        # bf16-representable.
+        bits = jax.lax.bitcast_convert_type(r16, jnp.uint32)
+        hi_f32 = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        hi = hi_f32.astype(jnp.bfloat16)
+        lo = (r16 - hi_f32).astype(jnp.bfloat16)
         scats = [_colscat2(xi, i_) for xi in range(4)]
 
         slabs = []
@@ -208,6 +215,11 @@ def o16_2d_to_specs(o16: jax.Array, c: int, k_tiles: int, interleave: int = 0,
     from jax.experimental.pallas import tpu as pltpu
 
     i_ = interleave or pick_interleave(k_tiles)
+    if k_tiles % i_:
+        raise ValueError(
+            f"interleave {i_} must divide k_tiles {k_tiles} (every group "
+            "stays inside one channel)"
+        )
     gpc = k_tiles // i_
     return pl.pallas_call(
         _make_turn_out_kernel(i_, gpc),

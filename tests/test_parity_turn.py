@@ -34,7 +34,11 @@ def test_pick_interleave():
     assert pick_interleave(7) == 1
 
 
-@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 3)])
+# (1, 12) and (1, 30) exercise gpc > 1 (several interleave groups per
+# channel) — (1, 30) IS the production flagship geometry (gpc = 5)
+@pytest.mark.parametrize(
+    "c,k", [(1, 6), (3, 2), (2, 4), (1, 3), (1, 12), (1, 30)]
+)
 def test_specs_to_x16_2d_exact(c, k):
     rng = np.random.default_rng(7)
     i_ = pick_interleave(k)
@@ -46,7 +50,7 @@ def test_specs_to_x16_2d_exact(c, k):
     np.testing.assert_array_equal(got, _regroup(classic, b // i_, i_))
 
 
-@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4)])
+@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 12), (1, 30)])
 def test_o16_2d_to_specs_close(c, k):
     rng = np.random.default_rng(3)
     i_ = pick_interleave(k)
@@ -58,6 +62,17 @@ def test_o16_2d_to_specs_close(c, k):
     assert got.shape == want.shape == (c, 256, k * 128)
     # hi/lo bf16 split reconstructs f32 to ~2^-17 relative
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
+
+
+def test_interleave_must_divide():
+    specs = jnp.zeros((1, 256, 30 * 128), jnp.float32)
+    with pytest.raises(ValueError, match="must divide"):
+        specs_to_x16_2d(specs, 30, interleave=4, interpret=True)
+    with pytest.raises(ValueError, match="must divide"):
+        o16_2d_to_specs(
+            jnp.zeros((16, 30 * 2048), jnp.float32), c=1, k_tiles=30,
+            interleave=4, interpret=True,
+        )
 
 
 def test_enhance_specs_end_to_end_matches_flax():
