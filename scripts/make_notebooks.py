@@ -77,17 +77,22 @@ final = classical_pipeline(specs)
 print(specs.shape, final.shape)"""),
         code("""
 # ref cell 3: patch into strips, 60/25/15 split (the leaky tile-level quirk)
+from specenh.data.tiles import n_tiles_for
 Sxx = np.asarray(patch(specs, cfg.patch))
 fin = np.asarray(patch(final, cfg.patch))
-a, b = int(len(Sxx) * 0.6), int(len(Sxx) * 0.85)
+# NOTE: the reference's 3000-tile/30-per-spec grid happens to put both
+# split points on spectrogram boundaries; this demo geometry doesn't, so
+# round down to tile-row boundaries — otherwise cell 4's unpatch would
+# stitch tiles from two different shots into one "spectrogram"
+k_t = n_tiles_for(sp.n_frames, cfg.patch)
+a = int(len(Sxx) * 0.6) // k_t * k_t
+b = int(len(Sxx) * 0.85) // k_t * k_t
 Sxx_train, Sxx_tune, Sxx_test = np.split(Sxx, [a, b])
 final_train, final_tune, final_test = np.split(fin, [a, b])
 print(Sxx_train.shape, Sxx_tune.shape, Sxx_test.shape)"""),
         code("""
 # ref cell 4: display(unpatch(Sxx_test), unpatch(final_test))
 from specenh.viz.plots import display
-from specenh.data.tiles import n_tiles_for
-k_t = n_tiles_for(sp.n_frames, cfg.patch)
 display(np.asarray(unpatch(Sxx_test, tiles_per_spec=k_t)),
         np.asarray(unpatch(final_test, tiles_per_spec=k_t)),
         os.path.join(out_dir, "display.png"), f, t, n=1, seed=0)"""),

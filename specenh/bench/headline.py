@@ -77,9 +77,13 @@ def measure_tpu(n_channels: int = 20) -> float:
     return n_channels / sec
 
 
-def measure_cpu_baseline(n_channels: int = 4) -> float:
+def measure_cpu_baseline(n_channels: int = 4) -> tuple[float, bool]:
     """Reference CPU recipe: scipy.signal.spectrogram + Keras predict on
-    patched tiles, per channel (hyperparam_scan.py:217-236 path)."""
+    patched tiles, per channel (hyperparam_scan.py:217-236 path).
+
+    Returns (spectrograms/s, keras_included) — the flag records whether
+    the Keras stage actually ran (TF importable), so an STFT-only number
+    is never silently cached as the full baseline."""
     from specenh.bench.reference_cpu import spectrogram_ref
     from specenh.config import SpecParams
 
@@ -124,16 +128,27 @@ def measure_cpu_baseline(n_channels: int = 4) -> float:
     for sig in traces:
         one_channel(sig)
     sec_per_channel = (time.perf_counter() - t0) / n_channels
-    return 1.0 / sec_per_channel
+    return 1.0 / sec_per_channel, model is not None
 
 
 def get_cpu_baseline(recompute: bool = False) -> float:
     if not recompute and os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as fh:
-            return json.load(fh)["spectrograms_per_sec_cpu"]
-    val = measure_cpu_baseline()
+            cached = json.load(fh)
+        # an STFT-only measurement (Keras was unavailable) is a stand-in,
+        # not the reference recipe — remeasure rather than trust it
+        if cached.get("keras_included", False):
+            return cached["spectrograms_per_sec_cpu"]
+    val, keras_included = measure_cpu_baseline()
     with open(BASELINE_CACHE, "w") as fh:
-        json.dump({"spectrograms_per_sec_cpu": val, "measured_at": time.time()}, fh)
+        json.dump(
+            {
+                "spectrograms_per_sec_cpu": val,
+                "keras_included": keras_included,
+                "measured_at": time.time(),
+            },
+            fh,
+        )
     return val
 
 

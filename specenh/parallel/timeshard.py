@@ -276,7 +276,12 @@ def _sharded_meansub(x, axis_name):
 
 def _enhance_local(s, cfg: PipelineConfig, axis_name: str):
     """Per-shard body of the time-sharded 5-stage pipeline (inside
-    shard_map).  Semantics match ops.enhance.classical_pipeline exactly."""
+    shard_map).  Semantics match ops.enhance.classical_pipeline to ~1 ulp:
+    the mean/min/max reductions are psums of per-shard partials, a
+    different fp32 summation order than the unsharded jnp reductions, so
+    a pixel sitting exactly on a uint8 quantisation threshold can flip by
+    one level as the device count changes (test_sharded_enhance_bitexact
+    uses atol=1e-5 for this reason)."""
     # quantfilt: freq axis unsharded -> purely local (same double-float
     # NumPy-exact quantile as the unsharded pipeline)
     from specenh.ops.enhance import quantile_filter
@@ -373,8 +378,10 @@ def make_sharded_enhance_shot(
           -> restitch (local unpatch)
 
     Returns jitted ``fn(params, trace) -> (spec, labels, enhanced)``, each
-    (..., F, T/hop) sharded over ``axis``.  ``trace``: (..., T) with T
-    divisible by mesh_size * hop * tile_time (``usable_samples_tiled``).
+    (..., F, T/hop) sharded over ``axis``.  ``trace``: (T,) or (C, T) —
+    at most ONE leading channel axis — with T divisible by
+    mesh_size * hop * tile_time (``usable_samples_tiled``).  ``mesh`` is
+    required.
     This is the multi-device composition of the reference workload
     (spec_denoising/pipeline_data.py:31 truncate-and-tile +
     VAE/hyperparam_scan.py:30-38 tiling + VAE/graphs.ipynb cells 2-9
@@ -390,6 +397,8 @@ def make_sharded_enhance_shot(
     model_cfg = model_cfg or ModelConfig()
     ps = ps or PatchSpec()
     model = make_model(model_cfg, dtype=dtype)
+    if mesh is None:
+        raise ValueError("make_sharded_enhance_shot requires a mesh")
     n_dev = mesh.shape[axis]
     t_total = sp.n_samples if n_samples is None else n_samples
     if t_total % (n_dev * sp.hop) != 0:
@@ -426,7 +435,12 @@ def make_sharded_enhance_shot(
         return s, labels, enh
 
     def wrapped(params, trace):
-        nb = trace.ndim - 1  # leading (channel) axes replicated
+        nb = trace.ndim - 1  # leading channel axis replicated
+        if nb > 1:
+            raise ValueError(
+                f"trace must be (T,) or (C, T), got {trace.shape} — "
+                "data.tiles.patch takes one leading axis"
+            )
         tr_spec = P(*([None] * nb + [axis]))
         o_spec = P(*([None] * nb + [None, axis]))
         f = shard_map(

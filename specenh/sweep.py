@@ -27,7 +27,9 @@ averages (``loss_comparisons.npz``, manual_scan.py:302-364).
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
+import json
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -287,7 +289,7 @@ def sweep_fit(
         return optax.apply_updates(p, updates), o, loss
 
     v_step = jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None))
-    v_loss = jax.jit(jax.vmap(one_loss, in_axes=(0, 0, None, None, None)))
+    v_loss_fn = jax.vmap(one_loss, in_axes=(0, 0, None, None, None))
 
     @jax.jit
     def sweep_epoch(p, o, m, xs, ys, batch_idx, batch_mask):
@@ -302,6 +304,19 @@ def sweep_fit(
 
         (p, o), losses = jax.lax.scan(body, (p, o), (batch_idx, batch_mask))
         return p, o, losses
+
+    @jax.jit
+    def sweep_val(p, m, xs, ys, batch_idx, batch_mask):
+        """Whole validation pass as one scanned device program (one
+        dispatch — per-batch dispatch costs ~50 ms RTT each on the
+        tunnelled TPU)."""
+
+        def body(_, args):
+            idx, w = args
+            return 0, v_loss_fn(p, m, xs[idx], ys[idx], w)
+
+        _, losses = jax.lax.scan(body, 0, (batch_idx, batch_mask))
+        return losses
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -338,6 +353,14 @@ def sweep_fit(
     run_meta = {
         "n": int(n), "seed": int(train_cfg.seed), "batch_size": int(bs),
         "shuffle": bool(train_cfg.shuffle), "n_configs": len(configs),
+        # full grid fingerprint: a reordered/edited config list with the
+        # same count and envelope would otherwise restore shape-compatible
+        # slices under the WRONG masks and train silently-corrupt
+        # trajectories
+        "grid": [
+            json.dumps(dataclasses.asdict(c), sort_keys=True, default=str)
+            for c in configs
+        ],
     }
 
     tr_hist, va_hist = [], []
@@ -384,24 +407,15 @@ def sweep_fit(
         losses = np.asarray(jax.device_get(losses))  # (n_batches, n_cfg)
         weights = batch_mask.sum(axis=1)[:, None]
         tr_hist.append((losses * weights).sum(0) / weights.sum())
-        # batched validation (one unbatched call over n_configs x full val
-        # set would OOM on realistic sweeps)
+        # batched validation, scanned (batching keeps the n_configs x val
+        # envelope from OOMing; the scan keeps it one dispatch)
         nv = x_val.shape[0]
-        v_losses, v_weights = [], []
-        for i in range(0, nv, bs):
-            idx = np.arange(i, min(i + bs, nv))
-            w = np.ones(len(idx), np.float32)
-            if len(idx) < bs:
-                pad = bs - len(idx)
-                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                w = np.concatenate([w, np.zeros(pad, np.float32)])
-            v_losses.append(
-                v_loss(params, masks, x_val[jnp.asarray(idx)],
-                       y_val[jnp.asarray(idx)], jnp.asarray(w))
-            )
-            v_weights.append(w.sum())
-        v_losses = np.asarray(jax.device_get(v_losses))  # (n_batches, n_cfg)
-        v_weights = np.asarray(v_weights)[:, None]
+        val_idx, val_mask = _epoch_batches(nv, min(bs, nv), np.arange(nv))
+        v_losses = np.asarray(jax.device_get(sweep_val(
+            params, masks, x_val, y_val,
+            jnp.asarray(val_idx), jnp.asarray(val_mask),
+        )))                                              # (n_batches, n_cfg)
+        v_weights = val_mask.sum(axis=1)[:, None]
         va_hist.append((v_losses * v_weights).sum(0) / v_weights.sum())
         if verbose:
             print(f"epoch {epoch+1}/{epochs} val={np.array2string(va_hist[-1], precision=4)}")

@@ -249,6 +249,17 @@ def fit(
             for _ in range(start_epoch):  # replay shuffle stream
                 if cfg.shuffle:
                     rng.permutation(n)
+            # restore the loss history too, so the returned curves cover
+            # the pre-resume epochs (sidecar JSON; pre-history checkpoints
+            # just resume with an empty history as before)
+            hpath = os.path.join(checkpoint_dir, "history.json")
+            if os.path.exists(hpath):
+                with open(hpath) as fh:
+                    saved_hist = json.load(fh)
+                history["loss"] = list(saved_hist.get("loss", []))[:start_epoch]
+                history["val_loss"] = list(
+                    saved_hist.get("val_loss", [])
+                )[:start_epoch]
             if verbose:
                 print(f"resumed from epoch {last}")
     if ckptr:
@@ -297,6 +308,8 @@ def fit(
                 {"params": state.params, "opt_state": state.opt_state},
                 force=True,
             )
+            with open(os.path.join(checkpoint_dir, "history.json"), "w") as fh:
+                json.dump(history, fh)
     if writer:
         writer.close()
     if ckptr:

@@ -123,7 +123,7 @@ def test_checkpoint_every_epoch(tmp_path):
         metrics_path=str(tmp_path / "metrics.jsonl"),
     )
     assert sorted(p.name for p in ckdir.iterdir()) == [
-        "epoch_0000", "epoch_0001", "run_meta.json",
+        "epoch_0000", "epoch_0001", "history.json", "run_meta.json",
     ]
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) == 2
@@ -175,7 +175,7 @@ def test_resume_matches_uninterrupted(tmp_path):
     y = (x > 0.5).astype(np.float32)
     tc = TrainConfig(batch_size=8, seed=5)
 
-    full, _ = fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=4)
+    full, full_hist = fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=4)
 
     ck = str(tmp_path / "ck")
     part, _ = fit(create_state(SMALL, tc), x, y, cfg=tc, epochs=2, checkpoint_dir=ck)
@@ -183,7 +183,9 @@ def test_resume_matches_uninterrupted(tmp_path):
         create_state(SMALL, tc), x, y, cfg=tc, epochs=4,
         checkpoint_dir=ck, resume=True,
     )
-    assert len(hist["loss"]) == 2  # only epochs 2..3 were run
+    # history covers ALL epochs: 0-1 restored from the sidecar, 2-3 run
+    assert len(hist["loss"]) == 4
+    np.testing.assert_allclose(hist["loss"], full_hist["loss"], atol=1e-6)
     for a, b in zip(
         jax.tree_util.tree_leaves(full.params), jax.tree_util.tree_leaves(resumed.params)
     ):

@@ -198,3 +198,21 @@ def test_sweep_resume_guards_run_meta(tmp_path):
     with pytest.raises(ValueError, match="run parameters changed"):
         sweep_fit(cfgs, x[:16], y[:16], x[24:], y[24:], tc, epochs=2,
                   checkpoint_dir=ck, resume=True)
+
+
+def test_sweep_resume_guards_grid_change(tmp_path):
+    """Resuming with a different config GRID (same count, same envelope)
+    must fail loudly — shape-compatible slices would otherwise restore
+    under the wrong masks and train silently-corrupt trajectories."""
+    base = dict(out_kernel=(3, 3), input_shape=SMALL)
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), **base),
+        ModelConfig(filters=(8, 8), kernels=((3, 3), (3, 3)), **base),
+    ]
+    x, y = _data(32)
+    tc = TrainConfig(batch_size=8, seed=0)
+    ck = str(tmp_path / "sweepck")
+    sweep_fit(cfgs, x[:24], y[:24], x[24:], y[24:], tc, epochs=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="run parameters changed"):
+        sweep_fit(list(reversed(cfgs)), x[:24], y[:24], x[24:], y[24:], tc,
+                  epochs=2, checkpoint_dir=ck, resume=True)
