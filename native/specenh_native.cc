@@ -125,21 +125,24 @@ class Prefetcher {
     for (auto& t : workers_) t.join();
   }
 
-  // Blocking: fills out[n_channels * n_samples]; returns shot index,
-  // -1 at end of stream, -2 - errno on failure (the shot is skipped but
-  // reported so callers can quarantine it).
-  int64_t Next(float* out) {
+  // Blocking: fills out[n_channels * n_samples]; returns the shot index
+  // (>= 0) with *status == 0 on success or *status > 0 on failure (the
+  // shot is skipped but its INDEX is still reported so callers can
+  // quarantine the right file), and -1 at end of stream.
+  int64_t Next(float* out, int64_t* status) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_data_.wait(lk, [this] {
       return !queue_.empty() || (done_workers_ == (int)workers_.size() && queue_.empty());
     });
+    *status = 0;
     if (queue_.empty()) return -1;
     // results may complete out of order; deliver in submission order
     ShotBuffer buf = std::move(queue_.front());
     queue_.pop_front();
     lk.unlock();
     cv_space_.notify_one();
-    if (buf.status != 0) return -2 - static_cast<int64_t>(buf.status);
+    *status = static_cast<int64_t>(buf.status);
+    if (buf.status != 0) return buf.shot_index;
     std::memcpy(out, buf.data.data(), buf.data.size() * sizeof(float));
     return buf.shot_index;
   }
@@ -247,8 +250,8 @@ void* specenh_prefetcher_create(const char** paths, int n_paths,
                         queue_depth);
 }
 
-int64_t specenh_prefetcher_next(void* handle, float* out) {
-  return static_cast<Prefetcher*>(handle)->Next(out);
+int64_t specenh_prefetcher_next(void* handle, float* out, int64_t* status) {
+  return static_cast<Prefetcher*>(handle)->Next(out, status);
 }
 
 void specenh_prefetcher_destroy(void* handle) {

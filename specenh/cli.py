@@ -346,6 +346,9 @@ def cmd_crosspower(args):
         from specenh.io.shots import load_time_series_tensor, lookup_fid
 
         fid = lookup_fid(args.fid_file, int(args.shot))
+        # reference quirk kept (crosspowerspec.py:33-34): signal1 comes
+        # from the v1v3 pair and signal2 from the v2r0 pair — the cross
+        # power is v1 x r0, exactly as the reference computes it
         sig1, _, _ = load_time_series_tensor(args.base_dir, fid, "v1", "v3")
         _, sig2, shots = load_time_series_tensor(args.base_dir, fid, "v2", "r0")
         i = int(np.abs(shots - int(args.shot)).argmin())
@@ -447,6 +450,10 @@ def cmd_movie(args):
     with SpectrogramStore(args.dataset, "r") as store:
         shot = store.shots()[0] if args.shot is None else f"ece_{args.shot}"
         chns = [c for c in range(1, args.channels + 1) if store.has_channel(shot, c)]
+        if not chns:
+            raise SystemExit(
+                f"no channels 1..{args.channels} found in {shot} of {args.dataset}"
+            )
         specs = []
         labels = []
         for c in chns:
@@ -456,18 +463,22 @@ def cmd_movie(args):
         f_ax, t_ax = d["f"], d["t"]
     specs = np.stack(specs)
     labels = np.stack(labels)
+    from specenh.config import PatchSpec
+    from specenh.data.tiles import n_tiles_for
+    # truncate to whole tiles (3840 at the reference geometry) so all three
+    # stacks share the prediction width whatever cut_shot built the dataset
+    k_t = n_tiles_for(specs.shape[-1], PatchSpec())
+    t_keep = k_t * PatchSpec().tile_time
     if args.model:
         state, _ = load_model(args.model)
-        from specenh.config import PatchSpec
-        from specenh.data.tiles import n_tiles_for
         tiles = np.asarray(patch(jnp.asarray(specs)))[..., None]
         preds = np.asarray(unpatch(jnp.squeeze(predict(state, jnp.asarray(tiles)), -1),
-                                   tiles_per_spec=n_tiles_for(specs.shape[-1], PatchSpec())))
+                                   tiles_per_spec=k_t))
     else:
-        preds = labels[:, :, :3840]
+        preds = labels[:, :, :t_keep]
     # (C, F, T) -> (F, T, C) stacks as graphs.ipynb cell 16 dstacks them
-    noisy = specs[:, :, :3840].transpose(1, 2, 0)
-    proc = labels[:, :, :3840].transpose(1, 2, 0)
+    noisy = specs[:, :, :t_keep].transpose(1, 2, 0)
+    proc = labels[:, :, :t_keep].transpose(1, 2, 0)
     pred = preds.transpose(1, 2, 0)
     n = dump_frames(
         noisy, proc, pred, t_ax, f_ax, shot.replace("ece_", ""), args.out_dir,

@@ -66,28 +66,37 @@ def assemble_from_store(
     ``channels=None`` uses every channel present in the first sampled shot."""
     rng = random.Random(seed)
     keys = store.shots()
-    if num_samples < len(keys):
-        keys = rng.sample(keys, num_samples)
+    # random.sample permutes even at n == population (the reference's
+    # random.sample(file.keys(), n), hyperparam_scan.py:133); clamping at
+    # the population size is our lenient extension of the reference's
+    # ValueError for n > population
+    keys = rng.sample(keys, min(num_samples, len(keys)))
     if channels is None:
         channels = store.channels_of(keys[0])
-    specs, labels = [], []
+    spec_list, label_list = [], []
     for key in keys:
         s, l = store.read_spec_and_labels(key, channels)
-        specs.append(s)
-        labels.append(l)
-    specs = np.concatenate(specs, axis=0)
-    labels = np.concatenate(labels, axis=0)
+        spec_list.append(s)
+        label_list.append(l)
 
     if cfg.split_by == "shot":
-        # leak-free: split the spectrogram list, then tile each split
-        a = int(len(specs) * cfg.split_fracs[0])
-        b = int(len(specs) * cfg.split_fracs[1])
-        parts = [(specs[:a], labels[:a]), (specs[a:b], labels[a:b]), (specs[b:], labels[b:])]
-        tiled = [(np.asarray(patch(s, ps)), np.asarray(patch(l, ps))) for s, l in parts]
+        # leak-free: split the SHOT list, then stack + tile each split —
+        # every channel of a shot lands on the same side
+        a = int(len(keys) * cfg.split_fracs[0])
+        b = int(len(keys) * cfg.split_fracs[1])
+
+        def tiled(lst):
+            if not lst:
+                f = spec_list[0].shape[-2]
+                return np.zeros((0, f, ps.tile_time), np.float32)
+            return np.asarray(patch(np.concatenate(lst, axis=0), ps))
+
         return SplitArrays(
-            tiled[0][0], tiled[1][0], tiled[2][0],
-            tiled[0][1], tiled[1][1], tiled[2][1],
+            tiled(spec_list[:a]), tiled(spec_list[a:b]), tiled(spec_list[b:]),
+            tiled(label_list[:a]), tiled(label_list[a:b]), tiled(label_list[b:]),
         )
+    specs = np.concatenate(spec_list, axis=0)
+    labels = np.concatenate(label_list, axis=0)
     x = np.asarray(patch(specs, ps))
     y = np.asarray(patch(labels, ps))
     return split_tiles(x, y, cfg.split_fracs)
@@ -101,7 +110,12 @@ def synthetic_shot_batch(
     seed: int = 0,
 ) -> np.ndarray:
     """Synthetic raw campaign (chirp + tone + noise per channel) for demos
-    and tests, shape (n_shots, n_channels, n_samples)."""
+    and tests, shape (n_shots, n_channels, n_samples).
+
+    Deliberately NOT bench.harness.example_shot: that one is the frozen
+    single-shot bench input (changing it would invalidate cached CPU
+    baselines); this one varies chirp rate and tone per shot so multi-shot
+    campaigns aren't 20 copies of the same physics."""
     rng = np.random.default_rng(seed)
     t = np.arange(n_samples) / fs
     shots = []

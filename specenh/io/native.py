@@ -31,7 +31,9 @@ def load_native(build: bool = True) -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build and not _build_failed:
+    if build and not _build_failed:
+        # run make even when the .so exists: it is a cheap no-op when up to
+        # date and rebuilds a stale library after source/ABI changes
         try:
             subprocess.run(
                 ["make", "-s"], cwd=_NATIVE_DIR, check=True,
@@ -39,7 +41,8 @@ def load_native(build: bool = True) -> Optional[ctypes.CDLL]:
             )
         except Exception:
             _build_failed = True
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -59,7 +62,10 @@ def load_native(build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ]
     lib.specenh_prefetcher_next.restype = ctypes.c_int64
-    lib.specenh_prefetcher_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.specenh_prefetcher_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.specenh_prefetcher_destroy.restype = None
     lib.specenh_prefetcher_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -95,8 +101,8 @@ def read_shot(path: str, n_channels: int, n_samples: int) -> np.ndarray:
 class NativePrefetcher:
     """Threaded shot prefetcher over SPEC binaries.
 
-    Iterates (shot_index, traces) in submission order of completion; corrupt
-    files yield (-2-errno, None) so callers can quarantine.  Falls back to a
+    Iterates (shot_index, traces) in submission order; corrupt files yield
+    (shot_index, None) so callers can quarantine the FILE.  Falls back to a
     synchronous Python loop when the native library is unavailable.
     """
 
@@ -128,17 +134,20 @@ class NativePrefetcher:
                 try:
                     yield i, read_shot(p, self.n_channels, self.n_samples)
                 except Exception:
-                    yield -2, None
+                    yield i, None
             return
         n = len(self.paths)
         for _ in range(n):
             out = np.empty((self.n_channels, self.n_samples), np.float32)
+            status = ctypes.c_int64(0)
             idx = self._lib.specenh_prefetcher_next(
-                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(status),
             )
             if idx == -1:
                 return
-            if idx < -1:
+            if status.value != 0:
                 yield int(idx), None
             else:
                 yield int(idx), out

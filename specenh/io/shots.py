@@ -131,7 +131,11 @@ def load_time_series_tensor(
 
 
 def lookup_fid(fid_file: str, shotnum: int) -> int:
-    """File-ID lookup from fid.txt (crosspowerspec.py:29-31)."""
+    """File-ID lookup from fid.txt (crosspowerspec.py:29-31).
+
+    Reference quirk kept: ``(file_ids <= shotnum).argmin()`` is the
+    reference's exact expression — when shotnum is beyond EVERY entry the
+    all-True mask argmins to index 0 and the first file id is returned."""
     file_ids = np.genfromtxt(fid_file, dtype=int)
     i = int((file_ids <= shotnum).argmin())
     return int(file_ids[i])

@@ -202,7 +202,27 @@ def denoise_signal(
         stop = jnp.where(num_sing >= 1, num_sing - 1, n_min - 1)
         idx = jnp.arange(s.shape[-1])
         mask = idx < stop[..., None]  # start=0
-        return _band_reconstruct(u, s, vh, mask)
+        recon = _band_reconstruct(u, s, vh, mask)
+        if n_min - 1 <= K_MAX:
+            return recon  # subspace covers the wrapped band exactly
+        # num_sing == 0 wraps stop to n_min - 1 (all but the LAST
+        # component) — beyond the K_MAX subspace, which would silently
+        # return a rank-K_MAX truncation.  Pay for the full decomposition
+        # only when that case actually occurs (lax.cond): the exact band
+        # is matrix minus its smallest singular triple.
+        wrap = num_sing == 0
+
+        def exact_wrap(_):
+            uu, ss, vv = jnp.linalg.svd(
+                matrix.astype(jnp.float32), full_matrices=False
+            )
+            last = ss[..., -1, None, None] * jnp.matmul(
+                uu[..., :, -1:], vv[..., -1:, :], precision=_HI
+            )
+            full = matrix.astype(jnp.float32) - last
+            return jnp.where(wrap[..., None, None], full, recon)
+
+        return jax.lax.cond(jnp.any(wrap), exact_wrap, lambda _: recon, None)
 
     lo = 1 if start is None else max(int(start), 0)
     hi = n_min if stop is None else min(int(stop), n_min)
@@ -246,4 +266,4 @@ def deflate_top1(matrix: jax.Array, iters: int = 30) -> jax.Array:
     u = jnp.matmul(m, v, precision=_HI)
     sigma = jnp.linalg.norm(u, axis=-2, keepdims=True)
     u = u / (sigma + 1e-30)
-    return m - sigma * jnp.matmul(u, jnp.swapaxes(v, -1, -2))
+    return m - sigma * jnp.matmul(u, jnp.swapaxes(v, -1, -2), precision=_HI)

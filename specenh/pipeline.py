@@ -122,7 +122,11 @@ def build_dataset_streaming(
 
     bin_files = list(bin_files)
     manifest = CampaignManifest(manifest_path)
-    pending = [p for p in bin_files if not manifest.is_done(shot_number_from_path(p))]
+    pending = [
+        p for p in bin_files
+        if not manifest.is_done(shot_number_from_path(p))
+        and shot_number_from_path(p) not in manifest.failed_shots
+    ]
     skipped = len(bin_files) - len(pending)
     done = failed = 0
     inflight = None  # (shot, device_result) — overlap host IO with device
@@ -146,7 +150,14 @@ def build_dataset_streaming(
         ) as pf:
             for idx, traces in pf:
                 if traces is None:
+                    # the prefetcher reports the shot index even on failure
+                    # — quarantine the file so resumes skip it instead of
+                    # re-reading and re-failing forever
+                    bad = shot_number_from_path(pending[idx])
+                    manifest.mark_failed(bad, "unreadable SPEC binary")
                     failed += 1
+                    if verbose:
+                        print(f"shot {bad}: read failed, quarantined")
                     continue
                 shot = shot_number_from_path(pending[idx])
                 result = fn(jnp.asarray(traces))  # async dispatch

@@ -84,24 +84,18 @@ def serve_once(
 
     Shots recorded done OR failed in the manifest are skipped — a corrupt
     shot is quarantined exactly once across polls and restarts (delete the
-    ledger line or file to force a retry).  Returns counts."""
+    ledger line or file to force a retry).  Returns counts.
+
+    One device result stays in flight: while the TPU enhances shot i, the
+    host reads shot i+1 from disk and persists shot i-1 — the same
+    overlap pattern as pipeline.build_dataset_streaming."""
     done = failed = 0
-    for path in sorted(glob.glob(os.path.join(watch_dir, "*.bin"))):
-        if max_new is not None and done + failed >= max_new:
-            break
-        shot = shot_number_from_path(os.path.basename(path))
-        if manifest.is_done(shot) or shot in manifest.failed_shots:
-            continue
-        t0 = time.perf_counter()
-        try:
-            traces = read_shot(path, service.n_channels, service.cfg.spec.n_samples)
-        except Exception as e:
-            manifest.mark_failed(shot, str(e))
-            failed += 1
-            if verbose:
-                print(f"quarantined {shot}: {e}")
-            continue
-        specs, enhanced = service.enhance(traces)
+    inflight = None  # (shot, t0, device_result)
+
+    def _drain(item):
+        nonlocal done
+        shot, t0, (specs, enhanced) = item
+        specs, enhanced = np.asarray(specs), np.asarray(enhanced)
         for i in range(specs.shape[0]):
             store.write_channel(
                 shot, i + 1, specs[i], service._f, service._t, enhanced[i],
@@ -116,6 +110,28 @@ def serve_once(
                         latency_s=latency)
         if verbose:
             print(f"shot {shot}: {specs.shape[0]} channels in {latency:.2f}s")
+
+    for path in sorted(glob.glob(os.path.join(watch_dir, "*.bin"))):
+        if max_new is not None and done + failed + (inflight is not None) >= max_new:
+            break
+        shot = shot_number_from_path(os.path.basename(path))
+        if manifest.is_done(shot) or shot in manifest.failed_shots:
+            continue
+        t0 = time.perf_counter()
+        try:
+            traces = read_shot(path, service.n_channels, service.cfg.spec.n_samples)
+        except Exception as e:
+            manifest.mark_failed(shot, str(e))
+            failed += 1
+            if verbose:
+                print(f"quarantined {shot}: {e}")
+            continue
+        result = service.fn(service.params, traces)  # async dispatch
+        if inflight is not None:
+            _drain(inflight)
+        inflight = (shot, t0, result)
+    if inflight is not None:
+        _drain(inflight)
     return {"done": done, "failed": failed}
 
 

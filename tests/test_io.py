@@ -167,15 +167,24 @@ def test_assemble_split_by_shot(tmp_path):
     rng = np.random.default_rng(0)
     with SpectrogramStore(path) as store:
         for shot in ["1", "2", "3", "4"]:
-            s = rng.random((256, 3905)).astype(np.float32)
-            store.write_channel(shot, 1, s, np.arange(256.0), np.arange(3905.0), s)
+            for chn in [1, 2, 3]:
+                s = rng.random((256, 3905)).astype(np.float32)
+                store.write_channel(shot, chn, s, np.arange(256.0), np.arange(3905.0), s)
         splits = assemble_from_store(
-            store, num_samples=4, channels=[1],
+            store, num_samples=4, channels=[1, 2, 3],
             cfg=TrainConfig(split_by="shot"), seed=0,
         )
-    # 4 spectrograms -> 2/1/1 shots -> tiles in multiples of 30 per split
-    assert len(splits.x_train) % 30 == 0
-    assert len(splits.x_train) + len(splits.x_tune) + len(splits.x_test) == 4 * 30
+    # leak-free at SHOT granularity: every split holds whole shots, i.e.
+    # multiples of channels * tiles (3 * 30) — channels of one shot must
+    # never straddle the boundary
+    per_shot = 3 * 30
+    assert len(splits.x_train) % per_shot == 0
+    assert len(splits.x_tune) % per_shot == 0
+    assert len(splits.x_test) % per_shot == 0
+    assert (
+        len(splits.x_train) + len(splits.x_tune) + len(splits.x_test)
+        == 4 * per_shot
+    )
 
 
 def test_synthetic_shot_batch():

@@ -68,11 +68,37 @@ def test_prefetcher_quarantines_corrupt(tmp_path):
     results = list(
         NativePrefetcher([str(good), str(bad)], n_channels=2, n_samples=256)
     )
-    ok = [r for r in results if r[0] >= 0]
-    failed = [r for r in results if r[0] < 0]
+    ok = [r for r in results if r[1] is not None]
+    failed = [r for r in results if r[1] is None]
     assert len(ok) == 1 and len(failed) == 1
+    assert ok[0][0] == 0
     np.testing.assert_array_equal(ok[0][1], traces)
-    assert failed[0][1] is None
+    # the failure reports WHICH file so callers can quarantine it
+    assert failed[0][0] == 1
+
+
+def test_streaming_pipeline_quarantines_and_skips(tmp_path):
+    """A corrupt SPEC binary is marked failed in the manifest (by SHOT),
+    and a rerun skips it instead of re-reading and re-failing forever."""
+    import dataclasses
+
+    from specenh.config import Config, SpecParams
+    from specenh.pipeline import build_dataset_streaming
+
+    sp = SpecParams(cut_shot=0.01)
+    cfg = Config(spec=sp)
+    good = tmp_path / "ece_100.bin"
+    _make_shot(good, c=2, s=sp.n_samples, seed=1)
+    bad = tmp_path / "ece_101.bin"
+    bad.write_bytes(b"corrupt")
+    files = [str(good), str(bad)]
+    store = str(tmp_path / "ds.h5")
+
+    r1 = build_dataset_streaming(cfg, files, 2, store_path=store, verbose=False)
+    assert r1["done"] == 1 and r1["failed"] == 1
+
+    r2 = build_dataset_streaming(cfg, files, 2, store_path=store, verbose=False)
+    assert r2["done"] == 0 and r2["failed"] == 0 and r2["skipped"] == 2
 
 
 def test_convert_ece_pickle(tmp_path):

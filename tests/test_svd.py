@@ -139,3 +139,19 @@ def test_use_optimal_zero_count_negative_slice_quirk():
     got = np.asarray(svd.denoise_signal(jnp.asarray(m, jnp.float32), use_optimal=True))
     assert np.abs(want).max() > 0.2  # reference keeps rank n-1, not zeros
     assert np.abs(got - want).max() / np.abs(m).max() < 5e-2
+
+
+def test_use_optimal_zero_count_beyond_kmax():
+    """Same wrap-around quirk on a matrix whose n_min - 1 exceeds the
+    K_MAX subspace: the auto path must fall back to the full decomposition
+    (lax.cond) instead of silently returning a rank-K_MAX truncation."""
+    rng = np.random.default_rng(5)
+    n = svd.K_MAX * 2  # n_min - 1 = 127 > K_MAX = 64
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    m = q + 0.01 * rng.standard_normal((n, n))
+    s_all = np.linalg.svd(m, compute_uv=False)
+    t_star = (0.56 - 0.95 + 1.82 + 1.43) * np.median(s_all)
+    assert (s_all > t_star).sum() == 0  # precondition: num_sing == 0
+    want = ref.svd_denoise_ref(m, use_optimal=True)
+    got = np.asarray(svd.denoise_signal(jnp.asarray(m, jnp.float32), use_optimal=True))
+    assert np.abs(got - want).max() / np.abs(m).max() < 5e-2
