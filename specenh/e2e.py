@@ -21,6 +21,7 @@ module is the fast path when you want a model, not a dataset.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -36,25 +37,34 @@ from specenh.train import TrainState, create_state, fit
 __all__ = ["prepare_tiles_on_device", "train_from_raw"]
 
 
+@functools.lru_cache(maxsize=8)
+def _prepare_fn(spec_cfg, pipe_cfg, patch_cfg):
+    """Jitted STFT + pipeline + patch program, cached per config so repeat
+    calls reuse the compiled executable (full-shot programs compile in
+    10-40 s and the axon PJRT cannot serialize them)."""
+
+    @jax.jit
+    def go(tr):
+        specs = spectrogram(tr, spec_cfg)
+        labels = classical_pipeline(specs, pipe_cfg)
+        return patch(specs, patch_cfg)[..., None], patch(labels, patch_cfg)[..., None]
+
+    return go
+
+
 def prepare_tiles_on_device(
     traces: jax.Array, cfg: Config
 ) -> Tuple[jax.Array, jax.Array]:
     """(C, n_samples) raw traces -> device-resident (tiles_x, tiles_y)
     NHWC tensors (the reference's spec/pipeline_out tile pairs)."""
-
-    @jax.jit
-    def go(tr):
-        specs = spectrogram(tr, cfg.spec)
-        labels = classical_pipeline(specs, cfg.pipeline)
-        return patch(specs, cfg.patch)[..., None], patch(labels, cfg.patch)[..., None]
-
+    go = _prepare_fn(cfg.spec, cfg.pipeline, cfg.patch)
     return go(jnp.asarray(traces, jnp.float32))
 
 
 def train_from_raw(
     traces: jax.Array,
     cfg: Config = Config(),
-    model_cfg: ModelConfig = ModelConfig(),
+    model_cfg: Optional[ModelConfig] = None,
     train_cfg: Optional[TrainConfig] = None,
     epochs: Optional[int] = None,
     verbose: bool = False,
@@ -70,6 +80,7 @@ def train_from_raw(
     are laid out (trace, tile), so that is a split at trace-multiples of
     the tile count.
     """
+    model_cfg = model_cfg or cfg.model
     train_cfg = train_cfg or cfg.train
     x, y = prepare_tiles_on_device(traces, cfg)
     n = x.shape[0]

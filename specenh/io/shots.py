@@ -53,7 +53,13 @@ def _load_pickle(fname: str):
     try:
         with open(fname, "rb") as fh:
             return pickle.load(fh)
-    except pickle.UnpicklingError as e:
+    # EOFError: truncated/empty file; AttributeError/ImportError/IndexError:
+    # the documented pickle.load failure modes for corrupt streams beyond
+    # UnpicklingError itself
+    except (
+        pickle.UnpicklingError, EOFError, AttributeError, ImportError,
+        IndexError,
+    ) as e:
         raise ShotReadError(f"corrupt pickle {fname}: {e}") from e
     except OSError as e:
         raise ShotReadError(f"unreadable {fname}: {e}") from e

@@ -24,8 +24,9 @@ __all__ = ["shard_batch", "make_dp_train_step", "make_dp_eval_step", "dp_fit"]
 
 
 def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
-    """Place arrays with their leading dim sharded over ``axis``.  Pads the
-    batch up to a multiple of the axis size (mask-aware callers pass masks)."""
+    """Place arrays with their leading dim sharded over ``axis``.  The
+    leading dim must already be a multiple of the axis size — ``dp_fit``
+    pads its batches (with zero masks) before calling this."""
     sharding = NamedSharding(mesh, P(axis))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
@@ -84,52 +85,81 @@ def dp_fit(
     verbose: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Multi-device Keras-fit equivalent.  ``batch_size`` is GLOBAL; it is
-    rounded up to a multiple of the mesh axis size with masked padding."""
+    rounded up to a multiple of the mesh axis size with masked padding.
+
+    One dispatch per epoch: the whole dataset lives on the devices
+    (replicated — batch gathers are then local) and every epoch is a
+    single ``lax.scan`` program whose per-batch tensors carry a
+    ``with_sharding_constraint`` onto the ``data`` axis, so the SPMD
+    partitioner slices the replicated gather for free and inserts the
+    gradient psum — no per-batch host round-trips (~50 ms RTT each on a
+    tunnelled TPU) and no per-epoch re-upload of the validation split."""
+    from specenh.train import _epoch_batches, bce_from_logits
+
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     bs = max(batch_size, n_dev)
     bs += (-bs) % n_dev
     n = x_train.shape[0]
-    x_train = jnp.asarray(x_train, jnp.float32)
-    y_train = jnp.asarray(y_train, jnp.float32)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    x_train = jax.device_put(jnp.asarray(x_train, jnp.float32), repl)
+    y_train = jax.device_put(jnp.asarray(y_train, jnp.float32), repl)
+    have_val = x_val is not None and len(x_val)
+    if have_val:
+        x_val = jax.device_put(jnp.asarray(x_val, jnp.float32), repl)
+        y_val = jax.device_put(jnp.asarray(y_val, jnp.float32), repl)
     rng = np.random.default_rng(seed)
-    train_step = make_dp_train_step(mesh)
-    eval_step = make_dp_eval_step(mesh)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    state = jax.device_put(state, repl)
     history = {"loss": [], "val_loss": []}
 
-    def run_batches(xs, ys, do_train, st):
-        m = xs.shape[0]
-        perm = rng.permutation(m) if (shuffle and do_train) else np.arange(m)
-        losses, weights = [], []
-        for i in range(0, m, bs):
-            idx = perm[i : i + bs]
-            w = np.ones(len(idx), np.float32)
-            if len(idx) < bs:
-                pad = bs - len(idx)
-                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                w = np.concatenate([w, np.zeros(pad, np.float32)])
-            xb, yb, wb = shard_batch(
-                mesh, xs[jnp.asarray(idx)], ys[jnp.asarray(idx)], jnp.asarray(w)
-            )
-            if do_train:
-                st, loss = train_step(st, xb, yb, wb)
-            else:
-                loss = eval_step(st, xb, yb, wb)
-            losses.append(loss)
-            weights.append(w.sum())
+    def batch_loss(params, apply_fn, xb, yb, wb):
+        xb = jax.lax.with_sharding_constraint(xb, data)
+        yb = jax.lax.with_sharding_constraint(yb, data)
+        wb = jax.lax.with_sharding_constraint(wb, data)
+        return bce_from_logits(apply_fn(params, xb, logits=True), yb, wb)
+
+    @partial(jax.jit, out_shardings=(repl, repl), donate_argnums=(0,))
+    def train_epoch(st, xs, ys, batch_idx, batch_mask):
+        def body(st, args):
+            idx, w = args
+
+            def loss_fn(params):
+                return batch_loss(params, st.apply_fn, xs[idx], ys[idx], w)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        return jax.lax.scan(body, st, (batch_idx, batch_mask))
+
+    @partial(jax.jit, out_shardings=repl)
+    def eval_epoch(st, xs, ys, batch_idx, batch_mask):
+        def body(_, args):
+            idx, w = args
+            return 0, batch_loss(st.params, st.apply_fn, xs[idx], ys[idx], w)
+
+        return jax.lax.scan(body, 0, (batch_idx, batch_mask))[1]
+
+    val_batches = _epoch_batches(len(x_val), bs, np.arange(len(x_val))) if have_val else None
+
+    def weighted_mean(losses, batch_mask):
         losses = np.asarray(jax.device_get(losses))
-        weights = np.asarray(weights)
-        return st, float((losses * weights).sum() / weights.sum())
+        weights = batch_mask.sum(axis=1)
+        return float((losses * weights).sum() / weights.sum())
 
     for epoch in range(epochs):
-        state, loss = run_batches(x_train, y_train, True, state)
-        history["loss"].append(loss)
-        if x_val is not None and len(x_val):
-            _, vl = run_batches(
-                jnp.asarray(x_val, jnp.float32), jnp.asarray(y_val, jnp.float32), False, state
+        perm = rng.permutation(n) if shuffle else np.arange(n)
+        batch_idx, batch_mask = _epoch_batches(n, bs, perm)
+        state, losses = train_epoch(
+            state, x_train, y_train, jnp.asarray(batch_idx), jnp.asarray(batch_mask)
+        )
+        history["loss"].append(weighted_mean(losses, batch_mask))
+        if have_val:
+            vi, vm = val_batches
+            v_losses = eval_epoch(
+                state, x_val, y_val, jnp.asarray(vi), jnp.asarray(vm)
             )
-            history["val_loss"].append(vl)
+            history["val_loss"].append(weighted_mean(v_losses, vm))
         if verbose:
-            print(f"epoch {epoch+1}/{epochs} loss={loss:.5f}"
+            print(f"epoch {epoch+1}/{epochs} loss={history['loss'][-1]:.5f}"
                   + (f" val={history['val_loss'][-1]:.5f}" if history["val_loss"] else ""))
     return state, history

@@ -22,6 +22,7 @@ Python, tested directly).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 __all__ = ["initialize_distributed", "host_shard", "merge_stores"]
@@ -44,10 +45,21 @@ def initialize_distributed(
             process_id=process_id,
         )
     else:
-        try:
+        # auto-init ONLY when a cluster environment is visibly present;
+        # if it is and initialize() fails, that is a real pod
+        # misconfiguration — swallowing it would silently leave every
+        # host thinking it is process 0 of 1 and re-doing the full
+        # campaign N times
+        cluster_env = any(
+            os.environ.get(k)
+            for k in (
+                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            )
+        ) or int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1
+        if cluster_env:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-host / no cluster env: run standalone
+        # else: single host, run standalone
     return jax.process_index(), jax.process_count()
 
 

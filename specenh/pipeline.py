@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import glob
 import os
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -73,7 +72,9 @@ def build_dataset(
     with SpectrogramStore(store_path) as store:
         for fname in shot_files:
             shot = shot_number_from_path(fname)
-            if manifest.is_done(shot):
+            # failed shots are quarantined once (same resume semantics as
+            # the streaming driver and serve.py)
+            if manifest.is_done(shot) or shot in manifest.failed_shots:
                 skipped += 1
                 continue
             try:
@@ -112,7 +113,6 @@ def build_dataset_streaming(
     previous shot's STFT + pipeline — the streaming production path
     (falls back to synchronous Python reads without the native library)."""
     from specenh.io.native import NativePrefetcher
-    from specenh.io.shots import shot_number_from_path
 
     store_path = store_path or cfg.paths.dataset_file
     manifest_path = manifest_path or store_path + ".manifest.jsonl"

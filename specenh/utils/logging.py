@@ -74,19 +74,41 @@ class SpanTimer:
         }
 
 
+class _SpanHandle:
+    """Set ``.result`` to the spanned computation's output so the sync
+    fence has something to wait on."""
+
+    result = None
+
+
 @contextlib.contextmanager
 def span(name: str, logger: Optional[MetricsLogger] = None, sync: bool = False):
     """One-off timed span; logs a ``span`` event if a logger is given.
-    ``sync=True`` synchronises the device first (pulls one element — the
-    reliable sync on tunnelled backends where block_until_ready lies)."""
+
+    ``sync=True`` fences on the spanned OUTPUT: assign it inside the block
+    (``with span("x", sync=True) as sp: sp.result = f(...)``) and one
+    element of its last leaf is pulled to host before the clock stops —
+    the only reliable sync on tunnelled backends, where block_until_ready
+    (and a data-independent dummy transfer) can return while the program
+    is still running.  With no result assigned, sync falls back to
+    jax.block_until_ready of a dummy — honest on regular backends only."""
+    sp = _SpanHandle()
     t0 = time.perf_counter()
-    yield
+    yield sp
     if sync:
         import jax
-        import jax.numpy as jnp
         import numpy as np
 
-        np.asarray(jnp.zeros(1))  # device round-trip fence
+        leaves = [
+            x for x in jax.tree_util.tree_leaves(sp.result)
+            if hasattr(x, "ravel")
+        ]
+        if leaves:
+            np.asarray(leaves[-1].ravel()[:1])  # true data-dependent fence
+        else:
+            import jax.numpy as jnp
+
+            jax.block_until_ready(jnp.zeros(1))
     dt = time.perf_counter() - t0
     if logger is not None:
         logger.log("span", name=name, seconds=dt)

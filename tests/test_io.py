@@ -138,9 +138,10 @@ def test_build_dataset_campaign(tmp_path):
         assert d["spec"].shape == (cfg.spec.n_freqs_kept, cfg.spec.n_frames)
         assert d["pipeline_out"].shape == d["spec"].shape
 
-    # resume: nothing re-done, failure re-attempted and re-quarantined
+    # resume: nothing re-done; the quarantined shot is skipped once-and-for
+    # -all (same semantics as the streaming driver and serve.py)
     summary2 = build_dataset(cfg, shots, channels=[1, 2], store_path=store_path, verbose=False)
-    assert summary2 == {"done": 0, "skipped": 2, "failed": 1}
+    assert summary2 == {"done": 0, "skipped": 3, "failed": 0}
 
 
 def test_assemble_and_split(tmp_path):
