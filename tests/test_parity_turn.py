@@ -50,7 +50,10 @@ def test_specs_to_x16_2d_exact(c, k):
     np.testing.assert_array_equal(got, _regroup(classic, b // i_, i_))
 
 
-@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 12), (1, 30)])
+# (1, 12): gpc = 2; (1, 10): gpc = 5 like the production 30-tile geometry
+# but at I = 2 — a third of the interpret-mode cost of (1, 30), whose
+# compiled form the bench SSIM gate exercises on every TPU run
+@pytest.mark.parametrize("c,k", [(1, 6), (3, 2), (2, 4), (1, 12), (1, 10)])
 def test_o16_2d_to_specs_close(c, k):
     rng = np.random.default_rng(3)
     i_ = pick_interleave(k)
