@@ -51,6 +51,25 @@ def main():
     out = sharded_enhance(spec, tmesh, PipelineConfig())
     print("time-sharded spectrogram:", spec.shape, "->", out.shape)
 
+    # --- multi-chip serving: channels sharded over the mesh, each chip
+    # running the fused Pallas conv-AE kernel on its slice (shard_map) ---
+    from specenh.bench.harness import example_shot, make_enhance_shot_fn
+    from specenh.models.autoencoder import make_model
+
+    smesh = make_mesh(n_dev, ("data",))
+    serve_sp = SpecParams(cut_shot=0.2)
+    cfg = ModelConfig()
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    fn = make_enhance_shot_fn(
+        cfg, serve_sp, mesh=smesh, use_kernel=True,
+        interpret=jax.default_backend() == "cpu",
+    )
+    traces = jnp.asarray(example_shot(serve_sp, n_channels=2 * n_dev))
+    specs, enhanced = fn(params, traces)
+    print("channel-sharded kernel serving:", traces.shape, "->", enhanced.shape)
+
 
 if __name__ == "__main__":
     main()
