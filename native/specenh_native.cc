@@ -128,7 +128,9 @@ class Prefetcher {
   // Blocking: fills out[n_channels * n_samples]; returns the shot index
   // (>= 0) with *status == 0 on success or *status > 0 on failure (the
   // shot is skipped but its INDEX is still reported so callers can
-  // quarantine the right file), and -1 at end of stream.
+  // quarantine the right file), and -1 at end of stream.  Results arrive
+  // in COMPLETION order (whichever worker finishes first) — callers must
+  // key on the returned index, never on arrival position.
   int64_t Next(float* out, int64_t* status) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_data_.wait(lk, [this] {
@@ -136,7 +138,6 @@ class Prefetcher {
     });
     *status = 0;
     if (queue_.empty()) return -1;
-    // results may complete out of order; deliver in submission order
     ShotBuffer buf = std::move(queue_.front());
     queue_.pop_front();
     lk.unlock();
@@ -253,6 +254,11 @@ void* specenh_prefetcher_create(const char** paths, int n_paths,
 int64_t specenh_prefetcher_next(void* handle, float* out, int64_t* status) {
   return static_cast<Prefetcher*>(handle)->Next(out, status);
 }
+
+// Bumped on every breaking change to the C ABI above; the Python loader
+// refuses libraries whose version does not match (a stale .so with the
+// wrong prefetcher_next signature would silently misreport failures).
+int64_t specenh_abi_version() { return 2; }
 
 void specenh_prefetcher_destroy(void* handle) {
   delete static_cast<Prefetcher*>(handle);

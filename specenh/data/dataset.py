@@ -84,6 +84,12 @@ def assemble_from_store(
         # every channel of a shot lands on the same side
         a = int(len(keys) * cfg.split_fracs[0])
         b = int(len(keys) * cfg.split_fracs[1])
+        if a == 0 or b == a:
+            raise ValueError(
+                f"{len(keys)} shots are too few for a shot-level "
+                f"{cfg.split_fracs} split (train or tune would be empty); "
+                "sample more shots or use split_by='tile'"
+            )
 
         def tiled(lst):
             if not lst:

@@ -46,6 +46,17 @@ def load_native(build: bool = True) -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    # refuse a stale library built against a different C ABI — calling the
+    # old 2-arg prefetcher_next through 3-arg argtypes would silently
+    # misreport corrupt shots as successes
+    try:
+        lib.specenh_abi_version.restype = ctypes.c_int64
+        abi = int(lib.specenh_abi_version())
+    except AttributeError:
+        abi = -1
+    if abi != 2:
+        _build_failed = True
+        return None
     lib.specenh_read_shot.restype = ctypes.c_int
     lib.specenh_read_shot.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint64,
@@ -101,8 +112,9 @@ def read_shot(path: str, n_channels: int, n_samples: int) -> np.ndarray:
 class NativePrefetcher:
     """Threaded shot prefetcher over SPEC binaries.
 
-    Iterates (shot_index, traces) in submission order; corrupt files yield
-    (shot_index, None) so callers can quarantine the FILE.  Falls back to a
+    Iterates (shot_index, traces) in COMPLETION order — key on the yielded
+    index, not arrival position.  Corrupt files yield (shot_index, None)
+    so callers can quarantine the FILE.  Falls back to a
     synchronous Python loop when the native library is unavailable.
     """
 

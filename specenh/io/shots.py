@@ -53,13 +53,12 @@ def _load_pickle(fname: str):
     try:
         with open(fname, "rb") as fh:
             return pickle.load(fh)
-    # EOFError: truncated/empty file; AttributeError/ImportError/IndexError:
-    # the documented pickle.load failure modes for corrupt streams beyond
-    # UnpicklingError itself
-    except (
-        pickle.UnpicklingError, EOFError, AttributeError, ImportError,
-        IndexError,
-    ) as e:
+    # EOFError (truncated/empty file) and IndexError (bad opcode stream)
+    # are file-corruption modes and safe to quarantine.  ImportError /
+    # AttributeError from pickle.load usually mean a broken ENVIRONMENT
+    # (module/version skew) — those must crash loudly, not quarantine the
+    # shot: campaigns skip quarantined shots permanently on resume.
+    except (pickle.UnpicklingError, EOFError, IndexError) as e:
         raise ShotReadError(f"corrupt pickle {fname}: {e}") from e
     except OSError as e:
         raise ShotReadError(f"unreadable {fname}: {e}") from e

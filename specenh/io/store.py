@@ -114,6 +114,7 @@ class CampaignManifest:
         self.path = path
         self._done: set = set()
         self._failed: Dict[str, str] = {}
+        self._failed_shot_set: set = set()
         if os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -125,6 +126,7 @@ class CampaignManifest:
                         self._done.add(key)
                     else:
                         self._failed[key] = rec.get("error", "")
+                        self._failed_shot_set.add(rec["shot"])
         self._fh = open(path, "a")
 
     def is_done(self, shot: str, chn: Optional[int] = None) -> bool:
@@ -137,6 +139,7 @@ class CampaignManifest:
 
     def mark_failed(self, shot: str, error: str, chn: Optional[int] = None):
         self._failed[(shot, chn)] = error
+        self._failed_shot_set.add(shot)
         self._fh.write(
             json.dumps({"shot": shot, "chn": chn, "status": "failed", "error": error})
             + "\n"
@@ -150,8 +153,10 @@ class CampaignManifest:
 
     @property
     def failed_shots(self) -> set:
-        """Shot ids with any recorded failure (for skip-once quarantine)."""
-        return {shot for shot, _ in self._failed}
+        """Shot ids with any recorded failure (for skip-once quarantine).
+        Maintained incrementally — callers probe it once per shot in
+        campaign loops."""
+        return self._failed_shot_set
 
     def close(self):
         self._fh.close()

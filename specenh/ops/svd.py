@@ -142,6 +142,25 @@ def _full_spectrum_for_median(matrix: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(evals, 0.0))
 
 
+def _full_band_fallback(matrix, start, stop, recon):
+    """Replace ``recon`` (computed on the K_MAX subspace) with the exact
+    full-SVD band [start, stop) for batch elements whose ``stop`` exceeds
+    the subspace.  The full decomposition runs only when at least one
+    element needs it (lax.cond)."""
+    need = stop > K_MAX
+
+    def exact(_):
+        uu, ss, vv = jnp.linalg.svd(
+            matrix.astype(jnp.float32), full_matrices=False
+        )
+        idx = jnp.arange(ss.shape[-1])
+        mask = (idx >= start[..., None]) & (idx < stop[..., None])
+        full = _band_reconstruct(uu, ss, vv, mask)
+        return jnp.where(need[..., None, None], full, recon)
+
+    return jax.lax.cond(jnp.any(need), exact, lambda _: recon, None)
+
+
 # ---------------------------------------------------------------------------
 # reference API
 # ---------------------------------------------------------------------------
@@ -159,7 +178,15 @@ def compute_signal(matrix: jax.Array, method: str = "subspace") -> jax.Array:
         num_sing = gavish_donoho_count(s_full, matrix.shape)
         idx = jnp.arange(s.shape[-1])
         mask = (idx >= 1) & (idx < 2 * num_sing[..., None])
-        return _band_reconstruct(u, s, vh, mask)
+        recon = _band_reconstruct(u, s, vh, mask)
+        n_min = min(matrix.shape[-2], matrix.shape[-1])
+        if n_min <= K_MAX:
+            return recon
+        # 2*num_sing can exceed the subspace for heavily structured data
+        return _full_band_fallback(
+            matrix, jnp.ones_like(num_sing),
+            jnp.minimum(2 * num_sing, n_min), recon,
+        )
     num_sing = gavish_donoho_count(s, matrix.shape)
     idx = jnp.arange(s.shape[-1])
     mask = (idx >= 1) & (idx < 2 * num_sing[..., None])
@@ -204,25 +231,13 @@ def denoise_signal(
         mask = idx < stop[..., None]  # start=0
         recon = _band_reconstruct(u, s, vh, mask)
         if n_min - 1 <= K_MAX:
-            return recon  # subspace covers the wrapped band exactly
-        # num_sing == 0 wraps stop to n_min - 1 (all but the LAST
-        # component) — beyond the K_MAX subspace, which would silently
-        # return a rank-K_MAX truncation.  Pay for the full decomposition
-        # only when that case actually occurs (lax.cond): the exact band
-        # is matrix minus its smallest singular triple.
-        wrap = num_sing == 0
-
-        def exact_wrap(_):
-            uu, ss, vv = jnp.linalg.svd(
-                matrix.astype(jnp.float32), full_matrices=False
-            )
-            last = ss[..., -1, None, None] * jnp.matmul(
-                uu[..., :, -1:], vv[..., -1:, :], precision=_HI
-            )
-            full = matrix.astype(jnp.float32) - last
-            return jnp.where(wrap[..., None, None], full, recon)
-
-        return jax.lax.cond(jnp.any(wrap), exact_wrap, lambda _: recon, None)
+            return recon  # subspace covers every possible band exactly
+        # ``stop`` can exceed the K_MAX subspace two ways: num_sing == 0
+        # wraps it to n_min - 1 (reference negative-slice quirk), and a
+        # heavily structured spectrum can count past K_MAX + 1 outright.
+        # Either would silently return a rank-K_MAX truncation — pay for
+        # the full decomposition only when it actually happens (lax.cond).
+        return _full_band_fallback(matrix, jnp.zeros_like(stop), stop, recon)
 
     lo = 1 if start is None else max(int(start), 0)
     hi = n_min if stop is None else min(int(stop), n_min)

@@ -45,21 +45,31 @@ def initialize_distributed(
             process_id=process_id,
         )
     else:
-        # auto-init ONLY when a cluster environment is visibly present;
-        # if it is and initialize() fails, that is a real pod
-        # misconfiguration — swallowing it would silently leave every
-        # host thinking it is process 0 of 1 and re-doing the full
-        # campaign N times
-        cluster_env = any(
+        # Let JAX auto-detect (GCE TPU metadata, GKE, SLURM, Open MPI all
+        # work with no env vars of ours).  If detection fails BUT the env
+        # explicitly names a cluster, that is a real pod misconfiguration:
+        # swallowing it would leave every host thinking it is process 0
+        # of 1 and re-doing the full campaign N times — re-raise.  With
+        # no cluster named, failure just means single host: standalone.
+        def _int_env(k):
+            try:
+                return int(os.environ.get(k) or 1)
+            except ValueError:
+                return 1
+
+        cluster_named = any(
             os.environ.get(k)
             for k in (
                 "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
                 "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
             )
-        ) or int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1
-        if cluster_env:
+        ) or _int_env("SLURM_JOB_NUM_NODES") > 1 or _int_env("OMPI_COMM_WORLD_SIZE") > 1
+        try:
             jax.distributed.initialize()
-        # else: single host, run standalone
+        except Exception:
+            if cluster_named:
+                raise
+            # single host / nothing to detect: run standalone
     return jax.process_index(), jax.process_count()
 
 

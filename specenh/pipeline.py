@@ -51,8 +51,10 @@ def build_dataset(
 ) -> dict:
     """Run the campaign.  Returns summary counts.
 
-    Resumable: shots present in the manifest are skipped, and HDF5 writes
-    are idempotent, so a crashed run continues where it stopped.
+    Resumable: shots present in the manifest are skipped — both completed
+    ones and quarantined failures (delete a failure's line from the
+    manifest JSONL to force a retry) — and HDF5 writes are idempotent, so
+    a crashed run continues where it stopped.
     """
     shot_files = (
         sorted(glob.glob(os.path.join(cfg.paths.data_dir, "*.pkl")))

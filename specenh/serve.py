@@ -103,6 +103,9 @@ def serve_once(
             )
         store.flush()
         manifest.mark_done(shot)
+        # arrival -> persisted, the true end-to-end latency in the
+        # pipelined server (it includes the overlap window in which the
+        # NEXT shot was being read — that wait is real)
         latency = time.perf_counter() - t0
         done += 1
         if metrics:

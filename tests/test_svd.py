@@ -99,6 +99,25 @@ def test_compute_signal(mat):
     assert ssim(rg, rw) > 0.995
 
 
+def test_compute_signal_band_beyond_kmax():
+    """Heavily structured spectrum: 2*num_sing exceeds the K_MAX subspace,
+    so the auto path must fall back to the full decomposition instead of a
+    silent rank-K_MAX truncation."""
+    rng = np.random.default_rng(17)
+    n_sig = svd.K_MAX  # num_sing ~ 64 -> band 1..128 > K_MAX
+    qm, _ = np.linalg.qr(rng.standard_normal((160, 160)))
+    qn, _ = np.linalg.qr(rng.standard_normal((220, 220)))
+    # distinct values: a degenerate spectrum would make "component 0"
+    # basis-arbitrary and the comparison meaningless
+    s = np.concatenate(
+        [np.linspace(80.0, 30.0, n_sig), np.full(160 - n_sig, 0.01)]
+    )
+    m = (qm * s) @ qn[:, :160].T  # (160, 220), 64 dominant components
+    want = ref.svd_compute_signal_ref(m)
+    got = np.asarray(svd.compute_signal(jnp.asarray(m, jnp.float32)))
+    assert np.abs(got - want).max() / np.abs(m).max() < 5e-3
+
+
 def test_deflate_top1_matches_default(mat):
     want = ref.svd_denoise_ref(mat)
     got = np.asarray(svd.deflate_top1(jnp.asarray(mat, jnp.float32)))
