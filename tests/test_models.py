@@ -78,6 +78,24 @@ def test_bce_mask_ignores_padding():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_fit_bf16_activations_learns():
+    """create_state(dtype=bfloat16) — the fast-training option — must
+    train (loss decreases) and keep float32 params."""
+    from specenh.train import create_state, fit
+
+    rng = np.random.default_rng(3)
+    x = rng.random((24, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=1)
+    state = create_state(SMALL, tc, dtype=jnp.bfloat16)
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    state, hist = fit(state, x, y, cfg=tc, epochs=4)
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
 def test_fit_history_and_determinism():
     rng = np.random.default_rng(4)
     x = rng.random((32, 64, 32, 1)).astype(np.float32)
