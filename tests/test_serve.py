@@ -55,6 +55,39 @@ def test_serve_quarantines_corrupt(tmp_path):
     manifest.close()
 
 
+def test_serve_overlap_with_corrupt_mid_stream(tmp_path):
+    """A corrupt shot BETWEEN two good ones: the in-flight device result
+    from the previous shot must still be drained and every good shot
+    persisted (regression for the one-deep IO/compute overlap)."""
+    cfg, watch = _setup(tmp_path, n_shots=2)  # shot_100, shot_101
+    (tmp_path / "in" / "shot_100a.bin").write_bytes(b"garbage")  # sorts between
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with SpectrogramStore(out) as store:
+        r = serve_once(service, watch, store, manifest, verbose=False)
+        assert r == {"done": 2, "failed": 1}
+        assert sorted(store.shots()) == ["enhanced_100", "enhanced_101"]
+    manifest.close()
+
+
+def test_serve_max_new_counts_inflight(tmp_path):
+    """max_new must bound the number of shots taken including the one in
+    flight — with 3 pending and max_new=2, exactly 2 are processed."""
+    cfg, watch = _setup(tmp_path, n_shots=3)
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with SpectrogramStore(out) as store:
+        r = serve_once(service, watch, store, manifest, max_new=2, verbose=False)
+        assert r == {"done": 2, "failed": 0}
+        r2 = serve_once(service, watch, store, manifest, verbose=False)
+        assert r2 == {"done": 1, "failed": 0}
+    manifest.close()
+
+
 def test_service_spectrogram_is_golden(tmp_path):
     """The service's spectrogram output (bf16x3 STFT path) must stay at
     SSIM >= 0.999 vs the CPU reference recipe."""
