@@ -238,3 +238,27 @@ def test_composed_long_shot_batched(tmesh8):
     pred = make_model(cfg).apply(params, tiles)
     want_enh = np.asarray(unpatch(jnp.squeeze(pred, -1), tiles_per_spec=k_tiles))
     np.testing.assert_allclose(np.asarray(enh), want_enh, atol=1e-5)
+
+
+def test_composed_long_shot_guards(tmesh8):
+    """make_sharded_enhance_shot: clear errors for a missing mesh and for
+    more than one leading trace axis."""
+    from specenh.models.autoencoder import make_model
+    from specenh.parallel.timeshard import (
+        make_sharded_enhance_shot,
+        usable_samples_tiled,
+    )
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        make_sharded_enhance_shot(ModelConfig(), SpecParams(cut_shot=0.6))
+
+    sp_full = SpecParams(cut_shot=0.6)
+    t_use = usable_samples_tiled(sp_full.n_samples, 8, sp_full)
+    sp = SpecParams(cut_shot=t_use / sp_full.fs)
+    params = make_model(ModelConfig()).init(
+        jax.random.PRNGKey(0), np.zeros((1, *ModelConfig().input_shape), np.float32)
+    )
+    fn = make_sharded_enhance_shot(ModelConfig(), sp, tmesh8)
+    bad = jnp.zeros((2, 2, t_use), jnp.float32)  # two leading axes
+    with pytest.raises(ValueError, match=r"\(T,\) or \(C, T\)"):
+        fn(params, bad)
