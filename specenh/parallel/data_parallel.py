@@ -94,7 +94,7 @@ def dp_fit(
     partitioner slices the replicated gather for free and inserts the
     gradient psum — no per-batch host round-trips (~50 ms RTT each on a
     tunnelled TPU) and no per-epoch re-upload of the validation split."""
-    from specenh.train import _epoch_batches, bce_from_logits
+    from specenh.train import _epoch_batches, bce_from_logits, weighted_epoch_mean
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     bs = max(batch_size, n_dev)
@@ -141,24 +141,19 @@ def dp_fit(
 
     val_batches = _epoch_batches(len(x_val), bs, np.arange(len(x_val))) if have_val else None
 
-    def weighted_mean(losses, batch_mask):
-        losses = np.asarray(jax.device_get(losses))
-        weights = batch_mask.sum(axis=1)
-        return float((losses * weights).sum() / weights.sum())
-
     for epoch in range(epochs):
         perm = rng.permutation(n) if shuffle else np.arange(n)
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)
         state, losses = train_epoch(
             state, x_train, y_train, jnp.asarray(batch_idx), jnp.asarray(batch_mask)
         )
-        history["loss"].append(weighted_mean(losses, batch_mask))
+        history["loss"].append(float(weighted_epoch_mean(losses, batch_mask)))
         if have_val:
             vi, vm = val_batches
             v_losses = eval_epoch(
                 state, x_val, y_val, jnp.asarray(vi), jnp.asarray(vm)
             )
-            history["val_loss"].append(weighted_mean(v_losses, vm))
+            history["val_loss"].append(float(weighted_epoch_mean(v_losses, vm)))
         if verbose:
             print(f"epoch {epoch+1}/{epochs} loss={history['loss'][-1]:.5f}"
                   + (f" val={history['val_loss'][-1]:.5f}" if history["val_loss"] else ""))

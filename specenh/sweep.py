@@ -341,6 +341,7 @@ def sweep_fit(
         _epoch_batches,
         check_run_meta,
         latest_checkpoint_epoch,
+        weighted_epoch_mean,
         write_run_meta,
     )
 
@@ -404,19 +405,16 @@ def sweep_fit(
             params, opt_state, masks, x_train, y_train,
             jnp.asarray(batch_idx), jnp.asarray(batch_mask),
         )
-        losses = np.asarray(jax.device_get(losses))  # (n_batches, n_cfg)
-        weights = batch_mask.sum(axis=1)[:, None]
-        tr_hist.append((losses * weights).sum(0) / weights.sum())
+        tr_hist.append(weighted_epoch_mean(losses, batch_mask))
         # batched validation, scanned (batching keeps the n_configs x val
         # envelope from OOMing; the scan keeps it one dispatch)
         nv = x_val.shape[0]
         val_idx, val_mask = _epoch_batches(nv, min(bs, nv), np.arange(nv))
-        v_losses = np.asarray(jax.device_get(sweep_val(
+        v_losses = sweep_val(
             params, masks, x_val, y_val,
             jnp.asarray(val_idx), jnp.asarray(val_mask),
-        )))                                              # (n_batches, n_cfg)
-        v_weights = val_mask.sum(axis=1)[:, None]
-        va_hist.append((v_losses * v_weights).sum(0) / v_weights.sum())
+        )                                                # (n_batches, n_cfg)
+        va_hist.append(weighted_epoch_mean(v_losses, val_mask))
         if verbose:
             print(f"epoch {epoch+1}/{epochs} val={np.array2string(va_hist[-1], precision=4)}")
         if ckptr:

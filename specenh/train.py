@@ -156,6 +156,19 @@ def _epoch_batches(n: int, bs: int, perm: np.ndarray):
     return np.stack(idxs).astype(np.int32), np.stack(masks)
 
 
+def weighted_epoch_mean(losses, batch_mask) -> np.ndarray:
+    """Mask-weighted mean of a scanned epoch's per-batch losses.
+
+    ``losses``: (n_batches,) or (n_batches, n_cfg) device/host array;
+    ``batch_mask``: (n_batches, bs) 0/1 padding mask.  The padded tail
+    batch contributes proportionally to its real example count — exactly
+    Keras's epoch-mean semantics."""
+    losses = np.asarray(jax.device_get(losses))
+    w = np.asarray(batch_mask).sum(axis=1)
+    w = w.reshape(w.shape + (1,) * (losses.ndim - 1))
+    return (losses * w).sum(axis=0) / w.sum()
+
+
 def write_run_meta(checkpoint_dir: str, meta: Dict[str, Any]) -> None:
     """Record the run parameters the shuffle-stream replay depends on."""
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -280,9 +293,7 @@ def fit(
         state, losses = train_epoch(
             state, x_train, y_train, jnp.asarray(batch_idx), jnp.asarray(batch_mask)
         )
-        losses = np.asarray(jax.device_get(losses))
-        weights = batch_mask.sum(axis=1)
-        epoch_loss = float((losses * weights).sum() / weights.sum())
+        epoch_loss = float(weighted_epoch_mean(losses, batch_mask))
         history["loss"].append(epoch_loss)
 
         val = None
@@ -328,11 +339,8 @@ def evaluate(state: TrainState, x: jax.Array, y: jax.Array, bs: int = 128) -> fl
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     batch_idx, batch_mask = _epoch_batches(n, min(bs, n), np.arange(n))
-    losses = np.asarray(
-        jax.device_get(eval_epoch(state, x, y, jnp.asarray(batch_idx), jnp.asarray(batch_mask)))
-    )
-    weights = batch_mask.sum(axis=1)
-    return float((losses * weights).sum() / weights.sum())
+    losses = eval_epoch(state, x, y, jnp.asarray(batch_idx), jnp.asarray(batch_mask))
+    return float(weighted_epoch_mean(losses, batch_mask))
 
 
 @partial(jax.jit, static_argnames=())
