@@ -144,18 +144,39 @@ def _full_spectrum_for_median(matrix: jax.Array) -> jax.Array:
 
 def _full_band_fallback(matrix, start, stop, recon):
     """Replace ``recon`` (computed on the K_MAX subspace) with the exact
-    full-SVD band [start, stop) for batch elements whose ``stop`` exceeds
-    the subspace.  The full decomposition runs only when at least one
-    element needs it (lax.cond)."""
+    band [start, stop) over the FULL spectrum, for batch elements whose
+    ``stop`` exceeds the subspace.  Runs only when at least one element
+    needs it (lax.cond).
+
+    The band is computed as a singular-subspace projection from the
+    small-side Gram eigendecomposition: A = sum u_k s_k v_k^T with the
+    u_k orthonormal, so sum_{k in band} u_k s_k v_k^T =
+    (U * mask) (U^T A) — no jnp.linalg.svd (whose QDWH path takes
+    minutes to COMPILE on TPU even when the branch never executes) and
+    no division by small singular values."""
     need = stop > K_MAX
 
     def exact(_):
-        uu, ss, vv = jnp.linalg.svd(
-            matrix.astype(jnp.float32), full_matrices=False
+        a = matrix.astype(jnp.float32)
+        m_, n_ = a.shape[-2], a.shape[-1]
+        idx = jnp.arange(min(m_, n_))
+        mask = ((idx >= start[..., None]) & (idx < stop[..., None])).astype(
+            jnp.float32
         )
-        idx = jnp.arange(ss.shape[-1])
-        mask = (idx >= start[..., None]) & (idx < stop[..., None])
-        full = _band_reconstruct(uu, ss, vv, mask)
+        at = jnp.swapaxes(a, -1, -2)
+        if m_ <= n_:
+            g = jnp.matmul(a, at, precision=_HI)
+            _, u = jnp.linalg.eigh(g)              # ascending eigenvalues
+            u = u[..., :, ::-1]                    # descending = SVD order
+            proj = jnp.matmul(jnp.swapaxes(u, -1, -2), a, precision=_HI)
+            full = jnp.matmul(u * mask[..., None, :], proj, precision=_HI)
+        else:
+            g = jnp.matmul(at, a, precision=_HI)
+            _, v = jnp.linalg.eigh(g)
+            v = v[..., :, ::-1]
+            proj = jnp.matmul(a, v, precision=_HI)
+            full = jnp.matmul(proj * mask[..., None, :],
+                              jnp.swapaxes(v, -1, -2), precision=_HI)
         return jnp.where(need[..., None, None], full, recon)
 
     return jax.lax.cond(jnp.any(need), exact, lambda _: recon, None)
