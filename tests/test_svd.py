@@ -116,6 +116,10 @@ def test_compute_signal_band_beyond_kmax():
     want = ref.svd_compute_signal_ref(m)
     got = np.asarray(svd.compute_signal(jnp.asarray(m, jnp.float32)))
     assert np.abs(got - want).max() / np.abs(m).max() < 5e-3
+    # tall matrix exercises the m > n Gram branch of the fallback
+    wantT = ref.svd_compute_signal_ref(m.T)
+    gotT = np.asarray(svd.compute_signal(jnp.asarray(m.T, jnp.float32)))
+    assert np.abs(gotT - wantT).max() / np.abs(m).max() < 5e-3
 
 
 def test_deflate_top1_matches_default(mat):
