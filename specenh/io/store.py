@@ -71,6 +71,12 @@ class SpectrogramStore:
     def has_channel(self, shot_group: str, chn: int) -> bool:
         return f"{shot_group}/chn_{chn}" in self._f
 
+    def spec_shape(self, shot_group: str, chn: int) -> Tuple[int, ...]:
+        """Shape of one channel's spectrogram WITHOUT reading the data
+        (h5py dataset metadata) — the streaming split plan sizes every
+        record from this."""
+        return tuple(self._f[f"{shot_group}/chn_{chn}"]["spec"].shape)
+
     def read_channel(self, shot_group: str, chn: int) -> Dict[str, np.ndarray]:
         grp = self._f[f"{shot_group}/chn_{chn}"]
         return {k: np.asarray(grp[k]) for k in ("spec", "f", "t", "pipeline_out")}

@@ -71,6 +71,17 @@ def make_dp_eval_step(mesh: Mesh, axis: str = "data"):
     return step
 
 
+def _put_sharded(a, sharding, n_dev: int):
+    """Place ``a`` with its leading dim sharded, zero-padding it to a
+    multiple of the shard count (padded rows are never indexed: batch
+    index arrays only cover the real row range)."""
+    a = np.asarray(a, np.float32)
+    pad = (-len(a)) % n_dev
+    if pad:
+        a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+    return jax.device_put(a, sharding)
+
+
 def dp_fit(
     state: TrainState,
     x_train,
@@ -82,32 +93,47 @@ def dp_fit(
     batch_size: int = 128,
     seed: int = 0,
     shuffle: bool = True,
+    dataset_sharding: str = "data",
     verbose: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Multi-device Keras-fit equivalent.  ``batch_size`` is GLOBAL; it is
     rounded up to a multiple of the mesh axis size with masked padding.
 
-    One dispatch per epoch: the whole dataset lives on the devices
-    (replicated — batch gathers are then local) and every epoch is a
-    single ``lax.scan`` program whose per-batch tensors carry a
-    ``with_sharding_constraint`` onto the ``data`` axis, so the SPMD
-    partitioner slices the replicated gather for free and inserts the
-    gradient psum — no per-batch host round-trips (~50 ms RTT each on a
-    tunnelled TPU) and no per-epoch re-upload of the validation split."""
+    One dispatch per epoch: the whole dataset lives on the devices —
+    SHARDED over the ``data`` axis (each chip holds 1/n of the tiles, so
+    the aggregate HBM of the mesh bounds the dataset, not one chip's; the
+    reference's 200-shot recipe needs ~31 GB of tile tensors, over a
+    single v5e's 16 GB) — and every epoch is a single ``lax.scan``
+    program.  The scanned batch gather ``x[idx]`` runs on the sharded
+    operand (the SPMD partitioner distributes it; traffic ~ batch size,
+    not dataset size) and each per-batch tensor carries a
+    ``with_sharding_constraint`` onto ``data``, so the partitioner keeps
+    batches sharded and inserts the gradient psum — no per-batch host
+    round-trips (~50 ms RTT each on a tunnelled TPU) and no per-epoch
+    re-upload of the validation split.
+
+    ``dataset_sharding='replicated'`` restores the round-2 behaviour
+    (every device holds the full dataset; gathers are local) — kept for
+    small datasets and as the comparison anchor: the sharded epoch matches
+    it to ~1e-6 (see dryrun_multichip / test_data_parallel)."""
     from specenh.train import _epoch_batches, bce_from_logits, weighted_epoch_mean
 
+    if dataset_sharding not in ("data", "replicated"):
+        raise ValueError(f"dataset_sharding must be 'data' or 'replicated', got {dataset_sharding!r}")
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     bs = max(batch_size, n_dev)
     bs += (-bs) % n_dev
     n = x_train.shape[0]
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    x_train = jax.device_put(jnp.asarray(x_train, jnp.float32), repl)
-    y_train = jax.device_put(jnp.asarray(y_train, jnp.float32), repl)
+    ds_sh = data if dataset_sharding == "data" else repl
+    x_train = _put_sharded(x_train, ds_sh, n_dev)
+    y_train = _put_sharded(y_train, ds_sh, n_dev)
     have_val = x_val is not None and len(x_val)
     if have_val:
-        x_val = jax.device_put(jnp.asarray(x_val, jnp.float32), repl)
-        y_val = jax.device_put(jnp.asarray(y_val, jnp.float32), repl)
+        n_val = len(x_val)
+        x_val = _put_sharded(x_val, ds_sh, n_dev)
+        y_val = _put_sharded(y_val, ds_sh, n_dev)
     rng = np.random.default_rng(seed)
     state = jax.device_put(state, repl)
     history = {"loss": [], "val_loss": []}
@@ -139,7 +165,8 @@ def dp_fit(
 
         return jax.lax.scan(body, 0, (batch_idx, batch_mask))[1]
 
-    val_batches = _epoch_batches(len(x_val), bs, np.arange(len(x_val))) if have_val else None
+    # n_val (not len(x_val)): the device copy may carry shard-padding rows
+    val_batches = _epoch_batches(n_val, bs, np.arange(n_val)) if have_val else None
 
     for epoch in range(epochs):
         perm = rng.permutation(n) if shuffle else np.arange(n)

@@ -1,0 +1,306 @@
+"""Host-streamed training: reference recipes whose tile tensors exceed HBM.
+
+The reference's largest published recipe trains on num_samples=200 shots
+(VAE/manual_scan.py:137-156): 200 x 20 x 30 = 120,000 tiles -> ~15.7 GB per
+tile tensor, x2 for (x, y) ~= 31 GB — over one v5e's 16 GB HBM.
+``train.fit`` uploads both tensors whole; this module streams the epoch
+instead:
+
+* the HDF5 store stays on disk; the split plan (reference-exact tile-level
+  60/25/15 boundaries, or leak-free shot-level) is computed from dataset
+  METADATA only (``SpectrogramStore.spec_shape``) — nothing is loaded up
+  front;
+* each epoch streams fixed-size chunks of tiles through the device:
+  chunk i+1's host read + ``device_put`` overlap chunk i's scanned train
+  program (dispatch is async; losses are pulled once per epoch);
+* every full chunk runs the SAME compiled program (one ``lax.scan`` over
+  its batches, exactly ``train.train_epoch``), so steady state is one
+  dispatch per chunk with no recompiles (the final short chunk compiles
+  once more).
+
+Shuffle semantics: a global tile permutation needs full residency, so the
+stream shuffles hierarchically — record order per epoch + tile order within
+each chunk (the grain/tf.data shuffle-window trade).  With
+``chunk_tiles >= n`` and ``shuffle=False`` the trajectory is IDENTICAL to
+``train.fit``'s (tested to 1e-6); the multi-chip alternative that preserves
+exact ``fit`` semantics is ``parallel.data_parallel.dp_fit``, which shards
+the resident dataset over the mesh instead of streaming it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specenh.config import PatchSpec, TrainConfig
+from specenh.data.grain_pipeline import RecordSlice, iter_record_slices
+from specenh.data.tiles import n_tiles_for
+from specenh.io.store import SpectrogramStore
+from specenh.train import (
+    TrainState,
+    _epoch_batches,
+    check_run_meta,
+    eval_epoch,
+    latest_checkpoint_epoch,
+    restore_checkpoint,
+    train_epoch,
+    weighted_epoch_mean,
+    write_run_meta,
+)
+
+__all__ = ["StreamPlan", "plan_stream_split", "fit_streaming", "estimate_resident_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# split planning (metadata only)
+# ---------------------------------------------------------------------------
+
+
+class StreamPlan:
+    """Per-split record slices + bookkeeping for a streamed campaign."""
+
+    def __init__(self, train: List[RecordSlice], tune: List[RecordSlice],
+                 test: List[RecordSlice], tile_shape: Tuple[int, int]):
+        self.train = train
+        self.tune = tune
+        self.test = test
+        self.tile_shape = tile_shape  # (F, W)
+
+    def n_tiles(self, split: str) -> int:
+        return sum(s.n_tiles for s in getattr(self, split))
+
+
+def plan_stream_split(
+    store: SpectrogramStore,
+    num_samples: int = 20,
+    channels: Optional[Sequence[int]] = None,
+    ps: PatchSpec = PatchSpec(),
+    cfg: TrainConfig = TrainConfig(),
+    seed: Optional[int] = None,
+) -> StreamPlan:
+    """The streaming analogue of ``data.dataset.assemble_from_store``: the
+    same sampled-shot order (``random.Random(seed).sample``,
+    hyperparam_scan.py:133), the same split boundaries — but as record
+    slices over the store, not resident arrays.
+
+    ``split_by='tile'`` places the reference's int(n*0.6)/int(n*0.85)
+    boundaries on the GLOBAL tile index (a boundary can fall mid-channel —
+    that channel contributes a slice to each side, reproducing the
+    reference's leaky split exactly).  ``split_by='shot'`` splits the
+    sampled shot list first (dataset.ipynb cell 3 semantics)."""
+    import random
+
+    rng = random.Random(seed)
+    keys = rng.sample(store.shots(), min(num_samples, len(store.shots())))
+    if channels is None:
+        channels = store.channels_of(keys[0])
+
+    def k_of(shot: str, chn: int) -> int:
+        return n_tiles_for(store.spec_shape(shot, chn)[-1], ps)
+
+    tile_shape = (store.spec_shape(keys[0], channels[0])[0], ps.tile_time)
+
+    if cfg.split_by == "shot":
+        a = int(len(keys) * cfg.split_fracs[0])
+        b = int(len(keys) * cfg.split_fracs[1])
+        if a == 0 or b == a:
+            raise ValueError(
+                f"{len(keys)} shots are too few for a shot-level "
+                f"{cfg.split_fracs} split; sample more shots or use "
+                "split_by='tile'"
+            )
+
+        def whole(shot_keys):
+            return [
+                RecordSlice(s, c, 0, k_of(s, c)) for s in shot_keys for c in channels
+            ]
+
+        return StreamPlan(whole(keys[:a]), whole(keys[a:b]), whole(keys[b:]), tile_shape)
+
+    records = [(s, c, k_of(s, c)) for s in keys for c in channels]
+    n = sum(k for _, _, k in records)
+    a, b = int(n * cfg.split_fracs[0]), int(n * cfg.split_fracs[1])
+    splits: List[List[RecordSlice]] = [[], [], []]
+    bounds = [(0, a), (a, b), (b, n)]
+    g = 0
+    for shot, chn, k in records:
+        for si, (lo_b, hi_b) in enumerate(bounds):
+            lo = max(lo_b, g) - g
+            hi = min(hi_b, g + k) - g
+            if hi > lo:
+                splits[si].append(RecordSlice(shot, chn, lo, hi))
+        g += k
+    return StreamPlan(*splits, tile_shape=tile_shape)
+
+
+# ---------------------------------------------------------------------------
+# chunk assembly
+# ---------------------------------------------------------------------------
+
+
+def _iter_chunks(
+    store: SpectrogramStore,
+    slices: List[RecordSlice],
+    ps: PatchSpec,
+    chunk_tiles: int,
+    order=None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Concatenate streamed records into (x, y) chunks of exactly
+    ``chunk_tiles`` tiles (final chunk short), NHWC float32."""
+    bx: List[np.ndarray] = []
+    by: List[np.ndarray] = []
+    n = 0
+    for x, y in iter_record_slices(store, slices, ps, order):
+        bx.append(x)
+        by.append(y)
+        n += len(x)
+        while n >= chunk_tiles:
+            xs, ys = np.concatenate(bx), np.concatenate(by)
+            yield xs[:chunk_tiles], ys[:chunk_tiles]
+            bx, by = [xs[chunk_tiles:]], [ys[chunk_tiles:]]
+            n = len(bx[0])
+    if n:
+        yield np.concatenate(bx), np.concatenate(by)
+
+
+def estimate_resident_bytes(n_tiles: int, ps: PatchSpec = PatchSpec()) -> int:
+    """Device bytes for the resident-fit path: (x, y) float32 tile tensors.
+    The CLI auto-engages streaming when this exceeds its HBM budget."""
+    return 2 * 4 * n_tiles * ps.tile_freq * ps.tile_time
+
+
+# ---------------------------------------------------------------------------
+# the streamed fit
+# ---------------------------------------------------------------------------
+
+
+def fit_streaming(
+    state: TrainState,
+    store: SpectrogramStore,
+    plan: StreamPlan,
+    cfg: TrainConfig = TrainConfig(),
+    epochs: Optional[int] = None,
+    chunk_tiles: int = 4096,
+    ps: PatchSpec = PatchSpec(),
+    metrics_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    verbose: bool = False,
+) -> Tuple[TrainState, Dict[str, list]]:
+    """Keras-fit equivalent over a streamed store.  Returns
+    (final_state, history) with per-epoch 'loss' and 'val_loss' means —
+    the same contract as ``train.fit``, for datasets that don't fit in HBM.
+
+    ``chunk_tiles`` bounds device residency: ~2 chunks of (x, y) in flight
+    (default 4096 tiles ~= 1.1 GB total).  It is rounded up to a batch
+    multiple so every full chunk reuses one compiled scan program.
+    """
+    epochs = cfg.epochs if epochs is None else epochs
+    n = plan.n_tiles("train")
+    if n == 0:
+        raise ValueError("streaming plan has no training tiles")
+    bs = min(cfg.batch_size, n)
+    chunk_tiles = min(chunk_tiles, n)
+    chunk_tiles += (-chunk_tiles) % bs
+
+    writer = open(metrics_path, "a") if metrics_path else None
+    ckptr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+
+    run_meta = {
+        "n": int(n), "seed": int(cfg.seed), "batch_size": int(bs),
+        "shuffle": bool(cfg.shuffle), "chunk_tiles": int(chunk_tiles),
+        "streamed": True,
+    }
+    history: Dict[str, list] = {"loss": [], "val_loss": []}
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        last = latest_checkpoint_epoch(checkpoint_dir)
+        if last is not None:
+            check_run_meta(checkpoint_dir, run_meta)
+            state = restore_checkpoint(state, checkpoint_dir, last)
+            start_epoch = last + 1
+            hpath = os.path.join(checkpoint_dir, "history.json")
+            if os.path.exists(hpath):
+                with open(hpath) as fh:
+                    saved = json.load(fh)
+                history["loss"] = list(saved.get("loss", []))[:start_epoch]
+                history["val_loss"] = list(saved.get("val_loss", []))[:start_epoch]
+            if verbose:
+                print(f"stream-resumed from epoch {last}")
+    if ckptr:
+        write_run_meta(checkpoint_dir, run_meta)
+
+    have_val = plan.n_tiles("tune") > 0
+
+    def run_split_epoch(slices, epoch: int, train: bool):
+        """Stream one split through the device; returns (weighted pairs).
+        The epoch rng is derived from (seed, epoch) so resume replays the
+        exact shuffle stream without stepping a shared generator."""
+        nonlocal state
+        rng = np.random.default_rng([cfg.seed, epoch])
+        order = (
+            rng.permutation(len(slices))
+            if (train and cfg.shuffle)
+            else np.arange(len(slices))
+        )
+        pairs = []  # (device losses, batch_mask) per chunk
+        for xc, yc in _iter_chunks(store, list(slices), ps, chunk_tiles, order):
+            nc = len(xc)
+            perm = rng.permutation(nc) if (train and cfg.shuffle) else np.arange(nc)
+            bi, bm = _epoch_batches(nc, min(bs, nc), perm)
+            xd, yd = jnp.asarray(xc), jnp.asarray(yc)  # async upload
+            if train:
+                state, losses = train_epoch(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
+            else:
+                losses = eval_epoch(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
+            # keep losses on device; the host loop continues reading the
+            # next chunk from disk while the TPU trains this one
+            pairs.append((losses, bm))
+        per_chunk = np.array([np.asarray(bm).sum() for _, bm in pairs])
+        means = np.array([float(weighted_epoch_mean(l, bm)) for l, bm in pairs])
+        return float((means * per_chunk).sum() / per_chunk.sum())
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.perf_counter()
+        epoch_loss = run_split_epoch(plan.train, epoch, train=True)
+        history["loss"].append(epoch_loss)
+        val = None
+        if have_val:
+            val = run_split_epoch(plan.tune, epoch, train=False)
+            history["val_loss"].append(val)
+        dt = time.perf_counter() - t0
+        if verbose:
+            msg = f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.5f}"
+            if val is not None:
+                msg += f" val_loss={val:.5f}"
+            print(msg + f" ({dt:.2f}s, streamed)")
+        if writer:
+            writer.write(json.dumps({
+                "epoch": epoch, "loss": epoch_loss, "val_loss": val, "sec": dt,
+                "streamed": True,
+            }) + "\n")
+            writer.flush()
+        if ckptr:
+            ckptr.save(
+                os.path.join(checkpoint_dir, f"epoch_{epoch:04d}"),
+                {"params": state.params, "opt_state": state.opt_state},
+                force=True,
+            )
+            with open(os.path.join(checkpoint_dir, "history.json"), "w") as fh:
+                json.dump(history, fh)
+    if writer:
+        writer.close()
+    if ckptr:
+        ckptr.wait_until_finished()
+    return state, history

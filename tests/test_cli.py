@@ -52,6 +52,21 @@ def test_resume_skips_done(workspace, capfd):
     assert out == {"done": 0, "skipped": 2, "failed": 0}
 
 
+def test_train_streamed_cli(workspace, capfd):
+    """--stream always: the host-streamed epoch produces the same artifact
+    set as the resident path (the 200-shot-recipe mechanism, scaled down)."""
+    ds = str(workspace / "data.hdf5")
+    train_dir = str(workspace / "train_stream")
+    main(["train", "--dataset", ds, "--out-dir", train_dir, "--model", "scan_k3",
+          "--epochs", "1", "--num-shots", "2", "--stream", "always", "--quiet"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["val_loss"]) and out["t_pred"] > 0
+    for artifact in ["model", "ex_specs.png", "val_loss.png", "metrics.jsonl"]:
+        assert os.path.exists(os.path.join(train_dir, artifact)), artifact
+    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
+        assert json.loads(fh.readline())["streamed"] is True
+
+
 def test_train_raw_device_resident(workspace, capfd):
     raw = str(workspace / "raw")
     out = str(workspace / "train_raw")

@@ -1,0 +1,159 @@
+"""Streamed training (train_stream) + sharded-dataset dp_fit.
+
+The reference's 200-shot recipe (manual_scan.py:137-156) exceeds one chip's
+HBM; these tests pin the two mechanisms that make it run: the host-streamed
+epoch (exact split parity with assemble_from_store, trajectory identity
+with fit when unchunked) and the data-axis-sharded resident dataset in
+dp_fit (identical to the replicated form).
+"""
+
+import numpy as np
+import pytest
+
+from specenh.config import ModelConfig, PatchSpec, TrainConfig
+from specenh.data.dataset import assemble_from_store
+from specenh.io.store import SpectrogramStore
+from specenh.train import create_state, fit
+from specenh.train_stream import (
+    _iter_chunks,
+    estimate_resident_bytes,
+    fit_streaming,
+    plan_stream_split,
+)
+
+PS = PatchSpec(tile_freq=32, tile_time=16, step=16, tiles_per_spec=5)
+TINY = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(32, 16, 1))
+
+
+@pytest.fixture()
+def stream_store(tmp_path):
+    rng = np.random.default_rng(7)
+    store = SpectrogramStore(str(tmp_path / "s.hdf5"))
+    for shot in ["101", "102", "103"]:
+        for chn in [1, 2]:
+            s = rng.random((32, 83)).astype(np.float32)  # 5 tiles of (32,16)
+            store.write_channel(shot, chn, s, np.arange(32.0), np.arange(83.0), s * 0.5)
+    yield store
+    store.close()
+
+
+def _gather(store, slices):
+    xs, ys = [], []
+    for x, y in _iter_chunks(store, list(slices), PS, chunk_tiles=10**9):
+        xs.append(x)
+        ys.append(y)
+    if not xs:
+        return (np.zeros((0, 32, 16, 1), np.float32),) * 2
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+@pytest.mark.parametrize("split_by", ["tile", "shot"])
+def test_stream_plan_matches_assemble(stream_store, split_by):
+    """The streamed split is tile-for-tile the assemble_from_store split —
+    same sampled-shot order, same boundaries, same (leaky) mid-channel
+    behaviour."""
+    cfg = TrainConfig(split_by=split_by)
+    splits = assemble_from_store(
+        stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3
+    ).reshaped()
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    for name, want_x in [
+        ("train", splits.x_train), ("tune", splits.x_tune), ("test", splits.x_test)
+    ]:
+        got_x, got_y = _gather(stream_store, getattr(plan, name))
+        assert plan.n_tiles(name) == len(want_x)
+        np.testing.assert_array_equal(got_x, want_x)
+    np.testing.assert_allclose(got_y, got_x * 0.5, atol=1e-6)
+
+
+def test_tile_split_boundary_mid_channel(stream_store):
+    """30 tiles at (0.6, 0.85) -> boundaries 18 / 25: both fall mid-channel
+    (5 tiles each), so one record must appear in two splits."""
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, seed=3)
+    assert (plan.n_tiles("train"), plan.n_tiles("tune"), plan.n_tiles("test")) == (18, 7, 5)
+    border = [s for s in plan.train if s.hi != 5 or s.lo != 0]
+    assert border, "expected a mid-channel boundary slice"
+
+
+def test_fit_streaming_identity_unchunked(stream_store):
+    """chunk >= n, shuffle off: the streamed trajectory IS fit()'s."""
+    cfg = TrainConfig(epochs=3, seed=0, shuffle=False, batch_size=8)
+    splits = assemble_from_store(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3).reshaped()
+    s1, h1 = fit(create_state(TINY, cfg), splits.x_train, splits.y_train,
+                 splits.x_tune, splits.y_tune, cfg)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    s2, h2 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=10_000, ps=PS)
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h1["val_loss"], h2["val_loss"], rtol=1e-6)
+    for a, b in zip(
+        np.asarray(s1.params["params"]["enc_conv0"]["kernel"]).ravel(),
+        np.asarray(s2.params["params"]["enc_conv0"]["kernel"]).ravel(),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_fit_streaming_chunked_trains(stream_store):
+    cfg = TrainConfig(epochs=4, seed=1, shuffle=True, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    state, hist = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                                chunk_tiles=8, ps=PS)
+    assert len(hist["loss"]) == 4 and len(hist["val_loss"]) == 4
+    assert all(np.isfinite(hist["loss"]))
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_fit_streaming_resume_identical(stream_store, tmp_path):
+    """Interrupt at epoch 2, resume to 4: identical to uninterrupted (the
+    per-epoch rng is derived from (seed, epoch), so the shuffle stream
+    replays exactly)."""
+    cfg = TrainConfig(epochs=4, seed=2, shuffle=True, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h_full = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                              chunk_tiles=8, ps=PS)
+    ckdir = str(tmp_path / "ck")
+    fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg, epochs=2,
+                  chunk_tiles=8, ps=PS, checkpoint_dir=ckdir)
+    _, h_res = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                             epochs=4, chunk_tiles=8, ps=PS,
+                             checkpoint_dir=ckdir, resume=True)
+    np.testing.assert_allclose(h_full["loss"], h_res["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-6)
+
+
+def test_estimate_resident_bytes():
+    # reference recipe: 120k tiles of 256x128 f32, x2 tensors ~ 31.5 GB
+    assert estimate_resident_bytes(120_000) == 2 * 4 * 120_000 * 256 * 128
+
+
+def test_dp_fit_sharded_matches_replicated():
+    """The data-axis-sharded resident dataset trains identically to the
+    replicated round-2 form (n=22 also exercises the shard padding)."""
+    import jax
+
+    from specenh.parallel.data_parallel import dp_fit
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    n = 22
+    x = rng.random((n, 32, 16, 1)).astype(np.float32)
+    y = (x * 0.5).astype(np.float32)
+    xv = rng.random((6, 32, 16, 1)).astype(np.float32)
+    yv = (xv * 0.5).astype(np.float32)
+    mesh = make_mesh(8, ("data",))
+    out = {}
+    for mode in ("data", "replicated"):
+        state = create_state(TINY, TrainConfig(seed=0))
+        out[mode] = dp_fit(
+            state, x, y, mesh, xv, yv, epochs=2, batch_size=8, seed=0,
+            dataset_sharding=mode,
+        )
+    np.testing.assert_allclose(out["data"][1]["loss"], out["replicated"][1]["loss"], rtol=2e-5)
+    np.testing.assert_allclose(
+        out["data"][1]["val_loss"], out["replicated"][1]["val_loss"], rtol=2e-5
+    )
+    pa = np.asarray(out["data"][0].params["params"]["enc_conv0"]["kernel"])
+    pb = np.asarray(out["replicated"][0].params["params"]["enc_conv0"]["kernel"])
+    np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
