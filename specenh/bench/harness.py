@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ def make_enhance_shot_fn(
     axis: str = "data",
     use_kernel: object = "auto",
     interpret: bool = False,
+    n_channels: Optional[int] = None,
 ) -> Callable:
     """Returns jitted fn(params, traces) -> (specs, enhanced):
     traces (C, n_samples) -> specs (C, 256, 3905), enhanced (C, 256, 3840).
@@ -78,10 +79,18 @@ def make_enhance_shot_fn(
 
     from specenh.ops.ae_kernel import supports as _kernel_supports
 
+    # the kernel's shard_map serving form requires the channel count to
+    # divide the mesh axis (every device runs the same per-block Pallas
+    # program); the Flax jit/in_shardings path tolerates uneven sharding —
+    # in auto mode with a mesh, route non-divisible channel counts there
+    mesh_even = mesh is None or (
+        n_channels is not None and n_channels % mesh.shape[axis] == 0
+    )
     kernel_on = use_kernel is True or (
         use_kernel == "auto"
         and dtype == jnp.bfloat16
         and _kernel_supports(model_cfg)
+        and mesh_even
         and jax.default_backend() not in ("cpu",)
     )
 
@@ -121,6 +130,13 @@ def make_enhance_shot_fn(
         wts_cache = {}
 
         def fn(params, traces):
+            if mesh is not None and traces.shape[0] % mesh.shape[axis]:
+                raise ValueError(
+                    f"fused-kernel serving over a mesh needs the channel "
+                    f"count ({traces.shape[0]}) divisible by the "
+                    f"'{axis}' axis size ({mesh.shape[axis]}); use the "
+                    "Flax path (use_kernel=False) for uneven counts"
+                )
             hit = wts_cache.get(id(params))
             if hit is None or hit[0] is not params:
                 wts_cache.clear()

@@ -308,9 +308,16 @@ def cmd_sweep(args):
         splits = assemble_from_store(
             store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
         ).reshaped()
+    mesh = None
+    if getattr(args, "devices", 0) and args.devices > 1:
+        from specenh.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, ("sweep",))
     res = sweep_fit(
         configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
         train_cfg, epochs=args.epochs, verbose=not args.quiet,
+        mesh=mesh,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
         checkpoint_dir=(
             os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
         ),
@@ -484,7 +491,14 @@ def cmd_serve(args):
             "meaningful denoisings",
             file=_sys.stderr,
         )
-    service = EnhanceService(cfg, model_cfg, params, n_channels=args.channels)
+    mesh = None
+    if getattr(args, "devices", 0) and args.devices > 1:
+        from specenh.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, ("data",))
+    service = EnhanceService(
+        cfg, model_cfg, params, n_channels=args.channels, mesh=mesh
+    )
     totals = serve_forever(
         service, args.watch_dir, args.out,
         poll_s=args.poll, max_shots=args.max_shots, once=args.once,
@@ -619,6 +633,11 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--epochs", type=int, default=15)
     w.add_argument("--num-shots", type=int, default=20)
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--devices", type=int, default=0,
+                   help="shard the config axis over N devices (the "
+                        "SLURM-array analog on a 'sweep' mesh)")
+    w.add_argument("--bf16", action="store_true",
+                   help="bfloat16-activation sweep training (1.5x epochs)")
     w.add_argument("--no-time-configs", action="store_true",
                    help="skip the per-config pred_times measurement")
     w.add_argument("--checkpoints", action="store_true",
@@ -662,6 +681,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--model-dir", default=None,
                     help="trained model dir (overrides --model preset)")
     sv.add_argument("--channels", type=int, default=20)
+    sv.add_argument("--devices", type=int, default=0,
+                    help="shard channels over N devices (data mesh)")
     sv.add_argument("--cut-shot", type=float, default=None)
     sv.add_argument("--poll", type=float, default=1.0)
     sv.add_argument("--max-shots", type=int, default=None)

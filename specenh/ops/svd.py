@@ -179,6 +179,10 @@ def _full_band_fallback(matrix, start, stop, recon):
                               jnp.swapaxes(v, -1, -2), precision=_HI)
         return jnp.where(need[..., None, None], full, recon)
 
+    # NOTE: under vmap this cond lowers to a select and BOTH branches run —
+    # the eigh short-circuit only saves work in unbatched (CLI) use.  If a
+    # batched pipeline ever calls this hot, hoist the `need` decision out
+    # of the batch instead of paying the full Gram eigh per element.
     return jax.lax.cond(jnp.any(need), exact, lambda _: recon, None)
 
 

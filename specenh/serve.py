@@ -48,7 +48,9 @@ class EnhanceService:
     ):
         self.cfg = cfg
         self.n_channels = n_channels
-        self.fn = make_enhance_shot_fn(model_cfg, cfg.spec, cfg.patch, mesh=mesh)
+        self.fn = make_enhance_shot_fn(
+            model_cfg, cfg.spec, cfg.patch, mesh=mesh, n_channels=n_channels
+        )
         if params is None:
             from specenh.models.autoencoder import make_model
 

@@ -176,16 +176,26 @@ def write_run_meta(checkpoint_dir: str, meta: Dict[str, Any]) -> None:
         json.dump(meta, fh)
 
 
-def check_run_meta(checkpoint_dir: str, meta: Dict[str, Any]) -> None:
+def check_run_meta(
+    checkpoint_dir: str, meta: Dict[str, Any], optional_keys=()
+) -> None:
     """Refuse to resume when the dataset size / seed / batching differ from
     the checkpointed run: the replayed shuffle stream would silently diverge
-    from the uninterrupted trajectory."""
+    from the uninterrupted trajectory.
+
+    ``optional_keys``: meta keys added after a schema change — ABSENT in
+    the saved file is tolerated (old checkpoints stay resumable, the
+    pre-meta permissive case), present-but-different still raises."""
     path = os.path.join(checkpoint_dir, "run_meta.json")
     if not os.path.exists(path):
         return  # pre-meta checkpoints: keep the old permissive behaviour
     with open(path) as fh:
         saved = json.load(fh)
-    diffs = {k: (saved.get(k), v) for k, v in meta.items() if saved.get(k) != v}
+    diffs = {
+        k: (saved.get(k), v)
+        for k, v in meta.items()
+        if saved.get(k) != v and not (k in optional_keys and k not in saved)
+    }
     if diffs:
         raise ValueError(
             f"cannot resume from {checkpoint_dir}: run parameters changed "

@@ -96,6 +96,22 @@ def test_fit_bf16_activations_learns():
     assert hist["loss"][-1] < hist["loss"][0]
 
 
+def test_bf16_trajectory_parity_vs_f32():
+    """The gate that makes --bf16 safe: same data/seed, the bf16-activation
+    loss trajectory tracks f32 closely (params and Adam state are f32 in
+    both; only conv/matmul activations differ)."""
+    from specenh.train import create_state, fit
+
+    rng = np.random.default_rng(5)
+    x = rng.random((48, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=16, seed=2)
+    _, h32 = fit(create_state(SMALL, tc), x, y, x[:16], y[:16], tc, epochs=5)
+    _, h16 = fit(create_state(SMALL, tc, dtype=jnp.bfloat16), x, y, x[:16], y[:16], tc, epochs=5)
+    np.testing.assert_allclose(h32["loss"], h16["loss"], rtol=2e-2)
+    np.testing.assert_allclose(h32["val_loss"], h16["val_loss"], rtol=2e-2)
+
+
 def test_fit_history_and_determinism():
     rng = np.random.default_rng(4)
     x = rng.random((32, 64, 32, 1)).astype(np.float32)

@@ -88,6 +88,29 @@ def test_serve_max_new_counts_inflight(tmp_path):
     manifest.close()
 
 
+def test_mesh_kernel_uneven_channels_clear_error():
+    """Forced fused-kernel serving over a mesh with a channel count that
+    doesn't divide the axis raises up front (auto mode routes such counts
+    to the Flax path instead — advisor round 2)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from specenh.bench.harness import make_enhance_shot_fn
+    from specenh.config import ModelConfig, SpecParams
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    sp = SpecParams(cut_shot=0.1)
+    mesh = make_mesh(8, ("data",))
+    fn = make_enhance_shot_fn(ModelConfig(), sp, mesh=mesh, use_kernel=True,
+                              interpret=True)
+    traces = np.zeros((20, sp.n_samples), np.float32)  # 20 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        fn(None, traces)
+
+
 def test_service_spectrogram_is_golden(tmp_path):
     """The service's spectrogram output (bf16x3 STFT path) must stay at
     SSIM >= 0.999 vs the CPU reference recipe."""

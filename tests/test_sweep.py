@@ -151,6 +151,39 @@ def test_sweep_sharded_over_mesh():
     assert np.isfinite(res.val_losses).all()
 
 
+def test_sweep_mesh_pads_uneven_grid():
+    """3 configs (the reference kernel grid) on an 8-device sweep mesh:
+    the axis is padded with copies of the last config and trimmed from the
+    result — losses match the unsharded sweep."""
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((k, k), (k, k)), out_kernel=(k, k), input_shape=SMALL)
+        for k in (3, 5, 7)
+    ]
+    x, y = _data(16)
+    tc = TrainConfig(batch_size=16, seed=0)
+    res_m = sweep_fit(cfgs, x, y, x, y, tc, epochs=2, mesh=make_mesh(8, ("sweep",)))
+    res_s = sweep_fit(cfgs, x, y, x, y, tc, epochs=2)
+    assert len(res_m.configs) == 3 and res_m.val_history.shape == (2, 3)
+    np.testing.assert_allclose(res_m.val_losses, res_s.val_losses, rtol=1e-4)
+    assert res_m.best_index == res_s.best_index
+
+
+def test_sweep_bf16_dtype_trains():
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+    ]
+    x, y = _data(16)
+    res = sweep_fit(cfgs, x, y, x, y, TrainConfig(batch_size=16, seed=0),
+                    epochs=3, dtype=jnp.bfloat16)
+    assert np.isfinite(res.val_losses).all()
+    assert (res.train_history[-1] < res.train_history[0]).all()
+
+
 def test_even_kernels_rejected():
     cfgs = [
         ModelConfig(filters=(4, 4), kernels=((4, 4), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
