@@ -22,7 +22,53 @@ from specenh.data.tiles import n_tiles_for, patch, unpatch
 from specenh.models.autoencoder import make_model
 from specenh.ops.stft import spectrogram
 
-__all__ = ["make_enhance_shot_fn", "time_fn", "example_shot"]
+__all__ = ["make_enhance_shot_fn", "make_production_predict_fn", "time_fn",
+           "example_shot"]
+
+
+def make_production_predict_fn(
+    model_cfg: ModelConfig,
+    dtype=jnp.bfloat16,
+    use_kernel: object = "auto",
+    interpret: bool = False,
+) -> Callable:
+    """Tile-batch predictor on the PRODUCTION inference path: the fused
+    Pallas kernel when the geometry supports it (TPU, bf16), else the
+    jitted Flax model.  fn(params, tiles(B,256,128,1)) -> probabilities.
+
+    This is what ``specenh sweep``'s per-config ``pred_times`` artifact
+    times (manual_scan.py:226-248 parity) — the reference times its own
+    serving path, so ours must time the kernel where the kernel serves."""
+    from specenh.ops.ae_kernel import (
+        ae_kernel_apply,
+        build_kernel_weights,
+        supports as _kernel_supports,
+    )
+
+    kernel_on = use_kernel is True or (
+        use_kernel == "auto"
+        and dtype == jnp.bfloat16
+        and _kernel_supports(model_cfg)
+        and jax.default_backend() not in ("cpu",)
+    )
+    if not kernel_on:
+        model = make_model(model_cfg, dtype=dtype)
+        return jax.jit(lambda params, tiles: model.apply(params, tiles))
+
+    wts_cache = {}
+
+    def fn(params, tiles):
+        hit = wts_cache.get(id(params))
+        if hit is None or hit[0] is not params:
+            wts_cache.clear()
+            wts_cache[id(params)] = (
+                params, build_kernel_weights(params, model_cfg)
+            )
+        return ae_kernel_apply(
+            wts_cache[id(params)][1], tiles, interpret=interpret
+        )
+
+    return fn
 
 
 def make_enhance_shot_fn(

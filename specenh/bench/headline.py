@@ -24,7 +24,7 @@ BASELINE_CACHE = os.path.join(
 )
 
 
-def measure_tpu(n_channels: int = 20) -> float:
+def measure_tpu(n_channels: int = 20, trace_dir: str | None = None) -> float:
     """Spectrograms (channels) per second on one chip, steady-state.
 
     Self-checking twice over (the BASELINE.md quality gates) — a
@@ -73,7 +73,15 @@ def measure_tpu(n_channels: int = 20) -> float:
         )
     print(f"# enhanced-output SSIM vs fp32 service: {svc_quality:.6f}", file=sys.stderr)
 
-    sec = time_fn(fn, params, traces, iters=20, warmup=3)
+    if trace_dir:
+        # xprof/TensorBoard device trace of the measured region
+        from specenh.utils.logging import profile_trace
+
+        with profile_trace(trace_dir):
+            sec = time_fn(fn, params, traces, iters=20, warmup=3)
+        print(f"# profiler trace written to {trace_dir}", file=sys.stderr)
+    else:
+        sec = time_fn(fn, params, traces, iters=20, warmup=3)
     return n_channels / sec
 
 
@@ -190,10 +198,10 @@ def get_cpu_baseline(recompute: bool = False) -> float:
     return val
 
 
-def main():
+def main(trace_dir: str | None = None):
     recompute = "--recompute-baseline" in sys.argv
     cpu = get_cpu_baseline(recompute)
-    tpu = measure_tpu()
+    tpu = measure_tpu(trace_dir=trace_dir)
     rec = {
         "metric": "spectrograms/sec/chip (STFT + conv-AE denoise, full 2s shot)",
         "value": round(tpu, 2),

@@ -150,13 +150,21 @@ def cmd_train(args):
         resume=args.resume,
         verbose=not args.quiet,
     )
+    import contextlib
+
+    trace_cm = contextlib.nullcontext()
+    if getattr(args, "trace_dir", None):
+        from specenh.utils.logging import profile_trace
+
+        trace_cm = profile_trace(args.trace_dir)
     if use_stream:
         if not args.quiet:
             print(f"streaming {plan.n_tiles('train')} train tiles "
                   f"(resident estimate {estimate_resident_bytes(n_total)/2**30:.1f} GB "
                   f"> budget {budget/2**30:.1f} GB)" if args.stream == "auto"
                   else "streaming (forced)")
-        state, hist = fit_streaming(state, store, plan, train_cfg, **fit_common)
+        with trace_cm:
+            state, hist = fit_streaming(state, store, plan, train_cfg, **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns)
         from specenh.train_stream import _iter_chunks
@@ -171,23 +179,25 @@ def cmd_train(args):
             store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
         ).reshaped()
         mesh = make_mesh(args.devices, ("data",))
-        state, hist = dp_fit(
-            state, splits.x_train, splits.y_train, mesh,
-            splits.x_tune, splits.y_tune,
-            epochs=args.epochs, batch_size=train_cfg.batch_size,
-            seed=args.seed, verbose=not args.quiet,
-        )
+        with trace_cm:
+            state, hist = dp_fit(
+                state, splits.x_train, splits.y_train, mesh,
+                splits.x_tune, splits.y_tune,
+                epochs=args.epochs, batch_size=train_cfg.batch_size,
+                seed=args.seed, verbose=not args.quiet,
+            )
         x_test = splits.x_test
     else:
         splits = assemble_from_store(
             store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
         ).reshaped()
-        state, hist = fit(
-            state,
-            splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
-            train_cfg,
-            **fit_common,
-        )
+        with trace_cm:
+            state, hist = fit(
+                state,
+                splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+                train_cfg,
+                **fit_common,
+            )
         x_test = splits.x_test
     save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
     if not hist["val_loss"]:
@@ -265,6 +275,9 @@ def cmd_train_raw(args):
     state, hist = train_from_raw(
         traces, cfg, model_cfg,
         TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by),
+        # shot-major stacking above: each file contributed args.channels
+        # traces, so the leak-free split groups them back into shots
+        channels_per_shot=args.channels,
         verbose=not args.quiet,
     )
     os.makedirs(args.out_dir, exist_ok=True)
@@ -327,11 +340,12 @@ def cmd_sweep(args):
 
     # per-config inference timing (manual_scan.py:226-248 pred_times): each
     # config extracted from the envelope and timed standalone on one
-    # channel's 30 tiles
-    import jax
+    # channel's 30 tiles — on the PRODUCTION path (the fused Pallas kernel
+    # where the geometry supports it, the Flax model elsewhere), so the
+    # reference-parity artifact reflects the framework's real serving speed
     import time as _time
 
-    from specenh.models.autoencoder import make_model
+    from specenh.bench.harness import make_production_predict_fn
     from specenh.sweep import extract_config_params
 
     pred_times = np.zeros_like(res.val_losses)
@@ -339,7 +353,7 @@ def cmd_sweep(args):
         tile_batch = jnp.asarray(splits.x_tune[:30])
         for ci, mc in enumerate(res.configs):
             p_i = extract_config_params(res.stacked_params, ci, mc, res.env)
-            f = jax.jit(lambda pp, t: make_model(mc).apply(pp, t))
+            f = make_production_predict_fn(mc)
             np.asarray(f(p_i, tile_batch).ravel()[:1])  # compile+sync
             t0 = _time.perf_counter()
             out = None
@@ -467,7 +481,7 @@ def cmd_import_keras(args):
 def cmd_bench(args):
     from specenh.bench.headline import main as bench_main
 
-    bench_main()
+    bench_main(trace_dir=getattr(args, "trace_dir", None))
 
 
 def cmd_serve(args):
@@ -595,6 +609,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--num-shots", type=int, default=20)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bench-shot", default="176053")
+    t.add_argument("--trace-dir", default=None,
+                   help="write an xprof/TensorBoard device trace of training")
     t.add_argument("--stream", choices=["auto", "always", "never"], default="auto",
                    help="host-stream the epoch when the tile tensors exceed "
                         "HBM (auto sizes from store metadata; budget via "
@@ -672,6 +688,9 @@ def build_parser() -> argparse.ArgumentParser:
     ik.set_defaults(fn=cmd_import_keras)
 
     be = sub.add_parser("bench", help="spectrograms/sec/chip benchmark")
+    be.add_argument("--trace-dir", default=None,
+                    help="write an xprof/TensorBoard device trace of the "
+                         "measured region")
     be.set_defaults(fn=cmd_bench)
 
     sv = sub.add_parser("serve", help="watch-dir enhancement service")

@@ -67,18 +67,21 @@ def train_from_raw(
     model_cfg: Optional[ModelConfig] = None,
     train_cfg: Optional[TrainConfig] = None,
     epochs: Optional[int] = None,
+    channels_per_shot: int = 1,
     verbose: bool = False,
     **fit_kwargs,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Raw shot batch -> trained autoencoder, all compute on device.
 
     ``traces``: (C_total, n_samples) — e.g. every channel of a campaign
-    stacked.  Split follows ``train_cfg.split_by``: ``'tile'`` is the
-    reference-exact leaky tile-level 60/25/15 (hyperparam_scan.py:148-149),
-    ``'shot'`` splits at trace granularity BEFORE tiling (dataset.ipynb
-    cell 3 semantics) so no trace's tiles straddle train/tune/test — tiles
-    are laid out (trace, tile), so that is a split at trace-multiples of
-    the tile count.
+    stacked, shot-major (all channels of shot 0, then shot 1, ...).
+    Split follows ``train_cfg.split_by``: ``'tile'`` is the
+    reference-exact leaky tile-level 60/25/15 (hyperparam_scan.py:148-149);
+    ``'shot'`` splits the SHOT list BEFORE tiling (dataset.ipynb cell 3
+    semantics, matching data.dataset.assemble_from_store) — pass
+    ``channels_per_shot`` so all channels of one physical shot land on the
+    same side (the default 1 treats each trace as its own shot, the
+    correct value for single-channel campaigns only).
     """
     model_cfg = model_cfg or cfg.model
     train_cfg = train_cfg or cfg.train
@@ -86,9 +89,22 @@ def train_from_raw(
     n = x.shape[0]
     if train_cfg.split_by == "shot":
         n_ch = traces.shape[0]
-        k = n // n_ch  # tiles per trace (patch() guarantees uniformity)
-        a = int(n_ch * train_cfg.split_fracs[0]) * k
-        b = int(n_ch * train_cfg.split_fracs[1]) * k
+        if n_ch % channels_per_shot:
+            raise ValueError(
+                f"{n_ch} traces do not group into shots of "
+                f"{channels_per_shot} channels"
+            )
+        n_shots = n_ch // channels_per_shot
+        k = (n // n_ch) * channels_per_shot  # tiles per shot
+        a_s = int(n_shots * train_cfg.split_fracs[0])
+        b_s = int(n_shots * train_cfg.split_fracs[1])
+        if a_s == 0 or b_s == a_s:
+            raise ValueError(
+                f"{n_shots} shots are too few for a shot-level "
+                f"{train_cfg.split_fracs} split (train or tune would be "
+                "empty); add shots or use split_by='tile'"
+            )
+        a, b = a_s * k, b_s * k
     else:
         a, b = int(n * train_cfg.split_fracs[0]), int(n * train_cfg.split_fracs[1])
     state = create_state(model_cfg, train_cfg)

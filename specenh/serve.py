@@ -88,56 +88,113 @@ def serve_once(
     shot is quarantined exactly once across polls and restarts (delete the
     ledger line or file to force a retry).  Returns counts.
 
-    One device result stays in flight: while the TPU enhances shot i, the
-    host reads shot i+1 from disk and persists shot i-1 — the same
-    overlap pattern as pipeline.build_dataset_streaming."""
-    done = failed = 0
-    inflight = None  # (shot, t0, device_result)
+    Fully pipelined host side (three stages on their own threads/queues):
+    a READER thread pulls shots off disk, the MAIN thread dispatches to
+    the device (async; two results in flight, bounded by the queue), and
+    a WRITER thread syncs results to host and persists them — so disk
+    read of shot i+1, device compute of shot i, and the HDF5 persist of
+    shot i-1 genuinely overlap.  The store/manifest/metrics are touched
+    ONLY by the writer thread (h5py is not thread-safe for concurrent
+    writers).
 
-    def _drain(item):
-        nonlocal done
-        shot, t0, (specs, enhanced) = item
-        specs, enhanced = np.asarray(specs), np.asarray(enhanced)
-        for i in range(specs.shape[0]):
-            store.write_channel(
-                shot, i + 1, specs[i], service._f, service._t, enhanced[i],
-                prefix="enhanced",
-            )
-        store.flush()
-        manifest.mark_done(shot)
-        # arrival -> persisted, the true end-to-end latency in the
-        # pipelined server (it includes the overlap window in which the
-        # NEXT shot was being read — that wait is real)
-        latency = time.perf_counter() - t0
-        done += 1
-        if metrics:
-            metrics.log("shot_enhanced", shot=shot, channels=int(specs.shape[0]),
-                        latency_s=latency)
-        if verbose:
-            print(f"shot {shot}: {specs.shape[0]} channels in {latency:.2f}s")
+    Metrics per shot: ``read_s`` (disk) and ``latency_s`` (arrival ->
+    persisted; includes pipeline queueing — the honest end-to-end number).
+    Per drain: a ``serve_batch`` event with shots/s."""
+    import queue
+    import threading
 
+    todo = []
     for path in sorted(glob.glob(os.path.join(watch_dir, "*.bin"))):
-        if max_new is not None and done + failed + (inflight is not None) >= max_new:
-            break
         shot = shot_number_from_path(os.path.basename(path))
         if manifest.is_done(shot) or shot in manifest.failed_shots:
             continue
-        t0 = time.perf_counter()
-        try:
-            traces = read_shot(path, service.n_channels, service.cfg.spec.n_samples)
-        except Exception as e:
-            manifest.mark_failed(shot, str(e))
-            failed += 1
-            if verbose:
-                print(f"quarantined {shot}: {e}")
+        todo.append((shot, path))
+        if max_new is not None and len(todo) >= max_new:
+            break
+    counts = {"done": 0, "failed": 0}
+    if not todo:
+        return counts
+
+    q_in: "queue.Queue" = queue.Queue(maxsize=2)
+    q_out: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def reader():
+        for shot, path in todo:
+            t0 = time.perf_counter()
+            try:
+                traces = read_shot(
+                    path, service.n_channels, service.cfg.spec.n_samples
+                )
+                q_in.put(("ok", shot, t0, time.perf_counter() - t0, traces))
+            except Exception as e:  # corrupt shot -> quarantine downstream
+                q_in.put(("err", shot, t0, time.perf_counter() - t0, e))
+        q_in.put(None)
+
+    def writer():
+        while True:
+            item = q_out.get()
+            if item is None:
+                return
+            kind, shot, t0, read_s, payload = item
+            try:
+                if kind == "err":
+                    manifest.mark_failed(shot, str(payload))
+                    counts["failed"] += 1
+                    if verbose:
+                        print(f"quarantined {shot}: {payload}")
+                    continue
+                specs, enhanced = payload
+                # device -> host sync happens HERE, off the dispatch path
+                specs, enhanced = np.asarray(specs), np.asarray(enhanced)
+                for i in range(specs.shape[0]):
+                    store.write_channel(
+                        shot, i + 1, specs[i], service._f, service._t,
+                        enhanced[i], prefix="enhanced",
+                    )
+                store.flush()
+                manifest.mark_done(shot)
+                latency = time.perf_counter() - t0
+                counts["done"] += 1
+                if metrics:
+                    metrics.log(
+                        "shot_enhanced", shot=shot,
+                        channels=int(specs.shape[0]),
+                        latency_s=latency, read_s=read_s,
+                    )
+                if verbose:
+                    print(f"shot {shot}: {specs.shape[0]} channels in {latency:.2f}s")
+            except Exception as e:  # persist failure: quarantine, keep serving
+                manifest.mark_failed(shot, f"persist: {e}")
+                counts["failed"] += 1
+                if verbose:
+                    print(f"persist failed for {shot}: {e}")
+
+    rt = threading.Thread(target=reader, name="serve-reader", daemon=True)
+    wt = threading.Thread(target=writer, name="serve-writer", daemon=True)
+    rt.start()
+    wt.start()
+    t_start = time.perf_counter()
+    while True:
+        item = q_in.get()
+        if item is None:
+            break
+        kind, shot, t0, read_s, payload = item
+        if kind == "err":
+            q_out.put((kind, shot, t0, read_s, payload))
             continue
-        result = service.fn(service.params, traces)  # async dispatch
-        if inflight is not None:
-            _drain(inflight)
-        inflight = (shot, t0, result)
-    if inflight is not None:
-        _drain(inflight)
-    return {"done": done, "failed": failed}
+        result = service.fn(service.params, payload)  # async dispatch
+        q_out.put(("ok", shot, t0, read_s, result))
+    q_out.put(None)
+    rt.join()
+    wt.join()
+    elapsed = time.perf_counter() - t_start
+    if metrics:
+        metrics.log(
+            "serve_batch", done=counts["done"], failed=counts["failed"],
+            seconds=elapsed,
+            shots_per_sec=(counts["done"] / elapsed) if elapsed > 0 else 0.0,
+        )
+    return counts
 
 
 def serve_forever(

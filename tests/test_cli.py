@@ -52,6 +52,22 @@ def test_resume_skips_done(workspace, capfd):
     assert out == {"done": 0, "skipped": 2, "failed": 0}
 
 
+def test_train_trace_dir_writes_profile(workspace, capfd):
+    """--trace-dir: the xprof device trace actually lands on disk (the
+    round-2 'profile_trace has zero callers' gap)."""
+    import glob
+
+    ds = str(workspace / "data.hdf5")
+    train_dir = str(workspace / "train_traced")
+    trace_dir = str(workspace / "xprof")
+    main(["train", "--dataset", ds, "--out-dir", train_dir, "--epochs", "1",
+          "--num-shots", "2", "--trace-dir", trace_dir, "--quiet"])
+    capfd.readouterr()
+    assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True), (
+        "no xplane trace written"
+    )
+
+
 def test_train_streamed_cli(workspace, capfd):
     """--stream always: the host-streamed epoch produces the same artifact
     set as the resident path (the 200-shot-recipe mechanism, scaled down)."""
@@ -65,6 +81,22 @@ def test_train_streamed_cli(workspace, capfd):
         assert os.path.exists(os.path.join(train_dir, artifact)), artifact
     with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
         assert json.loads(fh.readline())["streamed"] is True
+
+
+def test_sweep_cli_kernel_grid(workspace, capfd):
+    """The reference kernel array sweep from the CLI: artifacts +
+    production-path pred_times per config."""
+    ds = str(workspace / "data.hdf5")
+    out = str(workspace / "sweep")
+    main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
+          "--epochs", "1", "--num-shots", "2", "--quiet"])
+    rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_configs"] == 3 and np.isfinite(rec["best_val_loss"])
+    lc = np.load(os.path.join(out, "loss_comparisons.npz"))
+    assert set(lc.files) == {"kernel_loss", "kernel_time"}
+    assert (lc["kernel_time"] > 0).all()  # production-path timing ran
+    assert os.path.exists(os.path.join(out, "best_model"))
+    assert os.path.exists(os.path.join(out, "val_losses.npy"))
 
 
 def test_train_raw_device_resident(workspace, capfd):

@@ -73,6 +73,38 @@ def test_train_from_raw_shot_split_no_straddle(monkeypatch, tiny_cfg):
     assert marker["xv"].shape[0] % k_tiles == 0
 
 
+def test_train_from_raw_multichannel_shots_never_straddle(monkeypatch, tiny_cfg):
+    """channels_per_shot: all channels of one physical shot land on the
+    same side of every split (the round-2 gap: the raw path split at
+    TRACE granularity under the 'shot' flag)."""
+    marker = {}
+
+    def fake_fit(state, xt, yt, xv, yv, *a, **k):
+        marker["xt"], marker["xv"] = np.asarray(xt), np.asarray(xv)
+        return state, {"val_loss": [0.0]}
+
+    monkeypatch.setattr(e2e, "fit", fake_fit)
+    # 5 shots x 2 channels; shot s's channels carry a constant marker s
+    sp = tiny_cfg.spec
+    base = _traces(1, sp)[0]
+    traces = np.stack([base * (1 + 0.1 * s) for s in range(5) for _ in range(2)])
+    x, _ = e2e.prepare_tiles_on_device(traces, tiny_cfg)
+    tiles_per_shot = 2 * (x.shape[0] // traces.shape[0])
+    e2e.train_from_raw(
+        traces, tiny_cfg, ModelConfig(), TrainConfig(split_by="shot"),
+        channels_per_shot=2,
+    )
+    # int(5*0.6)=3 shots train, int(5*0.85)=4 -> 1 shot tune
+    assert marker["xt"].shape[0] == 3 * tiles_per_shot
+    assert marker["xv"].shape[0] == 1 * tiles_per_shot
+
+    with pytest.raises(ValueError, match="group into shots"):
+        e2e.train_from_raw(
+            traces[:9], tiny_cfg, ModelConfig(), TrainConfig(split_by="shot"),
+            channels_per_shot=2,
+        )
+
+
 def test_train_from_raw_smoke(tiny_cfg):
     """One real epoch end-to-end on a tiny model: finite, decreasing-ish loss."""
     traces = _traces(3, tiny_cfg.spec)

@@ -42,6 +42,31 @@ def test_serve_processes_backlog_and_is_idempotent(tmp_path):
         assert 0.0 <= d["pipeline_out"].min() and d["pipeline_out"].max() <= 1.0
 
 
+def test_serve_metrics_schema(tmp_path):
+    """Pipelined server metrics: per-shot read_s + latency_s, per-drain
+    serve_batch with shots/s (the dashboard contract; advisor round 2)."""
+    import json
+
+    from specenh.utils.logging import MetricsLogger
+
+    cfg, watch = _setup(tmp_path)
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    mpath = out + ".metrics.jsonl"
+    with SpectrogramStore(out) as store, MetricsLogger(mpath) as metrics:
+        serve_once(service, watch, store, manifest, metrics, verbose=False)
+    manifest.close()
+    events = [json.loads(l) for l in open(mpath)]
+    shots = [e for e in events if e["event"] == "shot_enhanced"]
+    batch = [e for e in events if e["event"] == "serve_batch"]
+    assert len(shots) == 2 and len(batch) == 1
+    for e in shots:
+        assert e["read_s"] >= 0 and e["latency_s"] >= e["read_s"]
+    assert batch[0]["done"] == 2 and batch[0]["shots_per_sec"] > 0
+
+
 def test_serve_quarantines_corrupt(tmp_path):
     cfg, watch = _setup(tmp_path, n_shots=1)
     (tmp_path / "in" / "shot_999.bin").write_bytes(b"garbage")
