@@ -140,10 +140,36 @@ def cmd_train(args):
         args.stream == "auto" and estimate_resident_bytes(n_total) > budget
     )
 
+    engine = getattr(args, "engine", None) or (
+        "bf16" if getattr(args, "bf16", False) else "f32"
+    )
     state = create_state(
         model_cfg, train_cfg,
-        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+        dtype=jnp.bfloat16 if engine == "bf16" else None,
     )
+    epoch_fn = None
+    if engine == "kernel":
+        import jax
+
+        from specenh.ops.ae_train_kernel import supports as _tk_supports
+        from specenh.train import kernel_epoch_for
+
+        if not _tk_supports(model_cfg):
+            raise SystemExit(
+                f"--engine kernel does not support the '{args.model}' "
+                "geometry; use f32/bf16"
+            )
+        if getattr(args, "devices", 0) and args.devices > 1:
+            raise SystemExit(
+                "--engine kernel is single-chip (resident or streamed); "
+                "combine with --devices via f32/bf16 for now"
+            )
+        # interpret mode keeps the CLI usable on CPU (tests); real chips
+        # run the compiled kernel
+        epoch_fn = kernel_epoch_for(
+            model_cfg, train_cfg,
+            interpret=jax.default_backend() == "cpu",
+        )
     fit_common = dict(
         metrics_path=os.path.join(args.out_dir, "metrics.jsonl"),
         checkpoint_dir=os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None,
@@ -164,7 +190,8 @@ def cmd_train(args):
                   f"> budget {budget/2**30:.1f} GB)" if args.stream == "auto"
                   else "streaming (forced)")
         with trace_cm:
-            state, hist = fit_streaming(state, store, plan, train_cfg, **fit_common)
+            state, hist = fit_streaming(state, store, plan, train_cfg,
+                                        epoch_fn=epoch_fn, **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns)
         from specenh.train_stream import _iter_chunks
@@ -196,6 +223,7 @@ def cmd_train(args):
                 state,
                 splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
                 train_cfg,
+                epoch_fn=epoch_fn,
                 **fit_common,
             )
         x_test = splits.x_test
@@ -622,6 +650,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 activations (params/optimizer stay f32): "
                         "measured 1.5x epoch time, loss-trajectory parity "
                         "verified vs f32 on the reference recipe")
+    t.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None,
+                   help="training engine: f32 (reference-parity default), "
+                        "bf16 (1.6x), kernel (fused Pallas fwd+bwd — "
+                        "activations never leave VMEM; resident + streamed)")
     t.add_argument("--checkpoints", action="store_true")
     t.add_argument("--resume", action="store_true",
                    help="continue from the latest epoch checkpoint")

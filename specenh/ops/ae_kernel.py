@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -64,14 +65,18 @@ LANES = CS * CT
 # ---------------------------------------------------------------------------
 
 
-def _l1_shift_sets(p: int, q: int):
-    """conv1 window shifts for fine-parity (p, q): the 16 taps touch coarse
-    shifts E_p x F_q with E_0 = {-1, 0}, E_1 = {0, 1} (same for f)."""
-    return ([-1, 0] if p == 0 else [0, 1]), ([-1, 0] if q == 0 else [0, 1])
+def _l1_shift_sets(p: int, q: int, k: int = 3):
+    """conv1 window coarse shifts for fine-parity (p, q): the (k+1)^2 taps
+    touch shifts E_p x F_q — for k=3/5: E_0 = {-1, 0}, E_1 = {0, 1};
+    for k=7 both are {-1, 0, 1} (same for f)."""
+    r = (k - 1) // 2
+    es = sorted({(2 * p - r + rho) // 4 for rho in range(k + 1)})
+    fs = sorted({(2 * q - r + sigma) // 4 for sigma in range(k + 1)})
+    return es, fs
 
 
-def _l1_weight(plan_w1: np.ndarray, p: int, q: int) -> np.ndarray:
-    """Host-scattered conv1 lhs (128, 64) for fine-parity (p, q).
+def _l1_weight(plan_w1: np.ndarray, p: int, q: int, k: int = 3) -> np.ndarray:
+    """Host-scattered conv1 lhs (4*C1, |E||F|*16) for fine-parity (p, q).
 
     The kernel's K operand is the concat of the four FULL shifted x16
     copies X_(e,f) (16 rows each, (e, f) in E_p x F_q order); single-row
@@ -80,27 +85,30 @@ def _l1_weight(plan_w1: np.ndarray, p: int, q: int) -> np.ndarray:
     carries the weight of window tap (rho, sigma) that lands on that
     (shift, parity-row) pair.  x16 rows are xi-major (see tiles_to_x16).
     """
-    es, fs = _l1_shift_sets(p, q)
-    out = np.zeros((128, len(es) * len(fs) * 16), np.float32)
-    for rho in range(4):
-        dy = 2 * p - 1 + rho
+    r = (k - 1) // 2
+    es, fs = _l1_shift_sets(p, q, k)
+    out = np.zeros((plan_w1.shape[1], len(es) * len(fs) * 16), np.float32)
+    for rho in range(k + 1):
+        dy = 2 * p - r + rho
         phi, e = dy % 4, dy // 4
-        for sigma in range(4):
-            dx = 2 * q - 1 + sigma
+        for sigma in range(k + 1):
+            dx = 2 * q - r + sigma
             xi, f = dx % 4, dx // 4
             col = (es.index(e) * len(fs) + fs.index(f)) * 16 + xi * 4 + phi
-            out[:, col] = plan_w1[rho * 4 + sigma, :]
+            out[:, col] = plan_w1[rho * (k + 1) + sigma, :]
     return out
 
 
-def _l2_slots() -> List[Tuple[int, int, int]]:
-    """16 window taps of conv2 (base = coarse grid): 32-row blocks of p1_4."""
+def _l2_slots(k: int = 3) -> List[Tuple[int, int, int]]:
+    """(k+1)^2 window taps of conv2 (base = coarse grid): C1-row parity
+    blocks of p1_4, coarse shifts up to +-(k+1)//4."""
+    r = (k - 1) // 2
     slots = []
-    for rho in range(4):
-        d = rho - 1
+    for rho in range(k + 1):
+        d = rho - r
         pp, e = d % 2, d // 2
-        for sigma in range(4):
-            d2 = sigma - 1
+        for sigma in range(k + 1):
+            d2 = sigma - r
             qq, f = d2 % 2, d2 // 2
             slots.append((pp * 2 + qq, e, f))
     return slots
@@ -119,18 +127,19 @@ def _l4_slots(p: int, q: int, e4: int, wz: int) -> List[Tuple[int, int, int]]:
     return slots
 
 
-def _l5_slots(p: int, q: int) -> List[Tuple[int, int, int]]:
-    """out-conv window taps for fine-parity (p, q): 32-row blocks of e16.
+def _l5_slots(p: int, q: int, k: int = 3) -> List[Tuple[int, int, int]]:
+    """out-conv window taps for fine-parity (p, q): C1-row blocks of e16.
 
     e16 rows are in PRODUCTION order (p', q', a', b', c) — the direct concat
     of the four convT1 outputs — so full-res parity (phi, xi) maps to block
     ((p'*2 + q')*4 + a'*2 + b') with p' = phi//2, a' = phi%2 etc."""
+    r = (k - 1) // 2
     slots = []
-    for rho in range(4):
-        dy = 2 * p - 1 + rho
+    for rho in range(k + 1):
+        dy = 2 * p - r + rho
         phi, e = dy % 4, dy // 4
-        for sigma in range(4):
-            dx = 2 * q - 1 + sigma
+        for sigma in range(k + 1):
+            dx = 2 * q - r + sigma
             xi, f = dx % 4, dx // 4
             blk = (((phi // 2) * 2 + (xi // 2)) * 4) + (phi % 2) * 2 + (xi % 2)
             slots.append((blk, e, f))
@@ -149,12 +158,17 @@ class AEKernelWeights:
     b3: jax.Array
     w4t: jax.Array  # (128, wz4^2*32) convT1
     b4: jax.Array
-    w5t: jax.Array  # (4, 512)    out conv
+    w5t: jax.Array  # (4, (k5+1)^2*C1) out conv
     b5: jax.Array   # (4, 1)
     e3: int
     wz3: int
     e4: int
     wz4: int
+    k1: int = 3
+    k2: int = 3
+    k5: int = 3
+    c1: int = 32
+    c2: int = 32
 
     def tree_flatten(self):  # pragma: no cover - registered below
         pass
@@ -163,19 +177,25 @@ class AEKernelWeights:
 jax.tree_util.register_dataclass(
     AEKernelWeights,
     data_fields=["w1t", "b1", "w2t", "b2", "w3t", "b3", "w4t", "b4", "w5t", "b5"],
-    meta_fields=["e3", "wz3", "e4", "wz4"],
+    meta_fields=["e3", "wz3", "e4", "wz4", "k1", "k2", "k5", "c1", "c2"],
 )
 
 
 def supports(cfg: ModelConfig) -> bool:
-    """The fused kernel covers the flagship geometry: depth-2, 32+32
-    filters, 3x3 kernels, (256, 128, 1) tiles."""
+    """Geometries the fused kernel executes: every depth-2 reference
+    config — odd square kernels up to 7 (the array sweep's k3/k5/k7,
+    hyperparam_scan.py:123), filters 32 or 64 per layer (the manual
+    (64, 32)/k5 config, manual_scan.py:120-124), (256, 128, 1) tiles.
+    Channel counts must be sublane-block multiples (32) for the parity
+    row layout."""
     return (
         cfg.depth == 2
-        and tuple(cfg.filters) == (32, 32)
-        and all(k == (3, 3) for k in cfg.kernels)
-        and tuple(cfg.out_kernel) == (3, 3)
         and tuple(cfg.input_shape) == (256, 128, 1)
+        and all(
+            k[0] == k[1] and k[0] % 2 == 1 and k[0] <= 7
+            for k in (*cfg.kernels, cfg.out_kernel)
+        )
+        and all(c % 32 == 0 and c <= 64 for c in cfg.filters)
     )
 
 
@@ -183,8 +203,8 @@ def build_kernel_weights(params, cfg: ModelConfig = ModelConfig(),
                          dtype=jnp.bfloat16) -> AEKernelWeights:
     if not supports(cfg):
         raise NotImplementedError(
-            "ae_kernel supports the flagship depth-2 (32,32)/k3 geometry; "
-            "other configs use the Flax path"
+            "ae_kernel supports depth-2 geometries with odd square kernels "
+            "<= 7 and 32/64-channel filters; other configs use the Flax path"
         )
     plan = build_plan(params, cfg, dtype=jnp.float32)
 
@@ -194,10 +214,11 @@ def build_kernel_weights(params, cfg: ModelConfig = ModelConfig(),
     def col(b):
         return jnp.asarray(np.asarray(b, np.float32))[:, None]
 
+    k1, k2, k5 = plan.k1, plan.k2, plan.k5
     w1_np = np.asarray(plan.w1, np.float32)
-    w1t_stack = np.concatenate(
-        [_l1_weight(w1_np, p, q) for p in range(2) for q in range(2)], axis=0
-    )  # (512, 64)
+    blocks = [_l1_weight(w1_np, p, q, k1) for p in range(2) for q in range(2)]
+    assert len({b.shape for b in blocks}) == 1, "uneven L1 shift sets"
+    w1t_stack = np.concatenate(blocks, axis=0)  # (4 * 4*C1, |E||F|*16)
     return AEKernelWeights(
         w1t=jnp.asarray(w1t_stack, dtype), b1=col(plan.b1),
         w2t=t(plan.w2), b2=col(plan.b2),
@@ -205,6 +226,8 @@ def build_kernel_weights(params, cfg: ModelConfig = ModelConfig(),
         w4t=t(plan.w4), b4=col(plan.b4),
         w5t=t(plan.w5), b5=col(np.asarray(plan.b5)[:4]),
         e3=plan.e3, wz3=plan.wz3, e4=plan.e4, wz4=plan.wz4,
+        k1=k1, k2=k2, k5=k5,
+        c1=int(cfg.filters[0]), c2=int(cfg.filters[1]),
     )
 
 
@@ -319,30 +342,32 @@ def _lane_shift(x, sh):
     return jnp.concatenate([jnp.zeros((k, -sh), x.dtype), x[:, :sh]], axis=1)
 
 
-def _make_masks(nb, dtype, ss=CT):
-    """0/1 row-vectors (1, nb) per (e, f) in {-1,0,1}^2 zeroing taps that
-    fall outside the tile; (0,0) maps to None (no mask).
+def _make_masks(nb, dtype, ss=CT, emax=1):
+    """0/1 row-vectors (1, nb) per (e, f) in [-emax, emax]^2 zeroing taps
+    that fall outside the tile; (0,0) maps to None (no mask).  k<=5
+    geometries shift at most +-1 coarse cell; k=7 reaches +-2 on conv2.
 
     ``ss`` is the lane stride of one coarse-freq step: 32 for the classic
     per-tile lane grid (lane = s*32 + t), 32*I for the I-way interleaved
     grid (lane = s*(32*I) + j*32 + t, j = tile-within-group) that gives the
     corner-turn DMAs full 128-lane windows.  Tile edges in t sit at every
     32 lanes and in s at every ``ss`` lanes either way — the interleave
-    index j never enters the masks."""
+    index j never enters the masks, and the same masks that zero
+    out-of-tile taps also zero the cross-tile leakage a +-f lane shift
+    would otherwise pick up from the neighbouring tile of the group."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     s = (lane // jnp.int32(ss)) & jnp.int32(CS - 1)
     t = lane & jnp.int32(CT - 1)
-    mu = {
-        -1: (s >= 1).astype(dtype), 0: None,
-        1: (s < CS - 1).astype(dtype),
-    }
-    mv = {
-        -1: (t >= 1).astype(dtype), 0: None,
-        1: (t < CT - 1).astype(dtype),
-    }
+    mu = {0: None}
+    mv = {0: None}
+    for e in range(1, emax + 1):
+        mu[-e] = (s >= e).astype(dtype)
+        mu[e] = (s < CS - e).astype(dtype)
+        mv[-e] = (t >= e).astype(dtype)
+        mv[e] = (t < CT - e).astype(dtype)
     masks = {}
-    for e in (-1, 0, 1):
-        for f in (-1, 0, 1):
+    for e in range(-emax, emax + 1):
+        for f in range(-emax, emax + 1):
             if mu[e] is None and mv[f] is None:
                 masks[(e, f)] = None
             elif mu[e] is None:
@@ -377,81 +402,119 @@ def _mm(lhs, rhs):
     )
 
 
-def _phase_max(z):
-    """relu + max over the 4 phase row-blocks: (128, n) f32 -> (32, n)."""
+def _phase_max(z, c: int = 32):
+    """relu + max over the 4 phase row-blocks: (4c, n) f32 -> (c, n)."""
     z = jax.nn.relu(z)
     return jnp.maximum(
-        jnp.maximum(z[0:32], z[32:64]), jnp.maximum(z[64:96], z[96:128])
+        jnp.maximum(z[0:c], z[c:2 * c]), jnp.maximum(z[2 * c:3 * c], z[3 * c:4 * c])
     )
 
 
+# largest K operand materialised as one concat; bigger layers accumulate
+# over tap chunks instead (bounds VMEM: a (1024, 6-tile-block) bf16
+# operand is ~24 MB).  The flagship k3 K=512 stays a single matmul —
+# byte-identical to the round-2 program.
+_K_CHUNK_LIMIT = 1024
+
+
+def _tapsum(w_ref, taps, nrows: int, k_limit: int = _K_CHUNK_LIMIT):
+    """z = W @ concat(taps), computed in column chunks when K is large:
+    sum_i W[:, chunk_i] @ concat(chunk_i taps).  ``taps`` is a list of
+    thunks each producing an (nrows, nb) block; chunking is free math
+    (f32 accumulation either way) but bounds the live concat buffer."""
+    k_total = len(taps) * nrows
+    n_chunks = max(1, -(-k_total // k_limit))
+    chunk = -(-len(taps) // n_chunks)
+    z = None
+    for i in range(0, len(taps), chunk):
+        sub = taps[i:i + chunk]
+        q = jnp.concatenate([t() for t in sub], axis=0)
+        part = _mm(w_ref[:, i * nrows:(i + len(sub)) * nrows], q)
+        z = part if z is None else z + part
+    return z
+
+
 def _make_kernel(wts: AEKernelWeights, nb: int, dtype, ss: int = CT):
-    l2_slots = _l2_slots()
+    c1, c2 = wts.c1, wts.c2
+    l2_slots = _l2_slots(wts.k2)
     l3_slots = [
         (0, wts.e3 + i, wts.e3 + j)
         for i in range(wts.wz3) for j in range(wts.wz3)
     ]
+    l4_all = [_l4_slots(p, q, wts.e4, wts.wz4) for p in range(2) for q in range(2)]
+    l5_all = [_l5_slots(p, q, wts.k5) for p in range(2) for q in range(2)]
+    l1_sets = [_l1_shift_sets(p, q, wts.k1) for p in range(2) for q in range(2)]
+    emax = max(
+        max(abs(e), abs(f))
+        for slots in (l2_slots, l3_slots, *l4_all, *l5_all)
+        for (_, e, f) in slots
+    )
+    emax = max(emax, *(abs(s) for es, fs in l1_sets for s in (*es, *fs)))
 
     def kernel(x16_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                w4_ref, b4_ref, w5_ref, b5_ref, o_ref):
-        masks = _make_masks(nb, dtype, ss)
+        masks = _make_masks(nb, dtype, ss, emax)
         x16 = x16_ref[:]
 
         # L1: conv1 + relu + pool, one matmul per fine parity.  The K
         # operand is the concat of FULL shifted x16 copies (single-row
         # lane-shifted slices are illegal under Mosaic); the row selection
         # lives in the host-scattered w1 (see _l1_weight).
+        l1_shifts = sorted({
+            (e, f) for es, fs in l1_sets for e in es for f in fs
+        })
         shifted = {
-            (e, f): _tap(x16, 0, 16, e, f, masks, ss)
-            for e in (-1, 0, 1) for f in (-1, 0, 1)
+            (e, f): _tap(x16, 0, 16, e, f, masks, ss) for (e, f) in l1_shifts
         }
         p1_parts = []
         for p in range(2):
             for q in range(2):
-                es, fs = _l1_shift_sets(p, q)
+                es, fs = l1_sets[p * 2 + q]
                 q1 = jnp.concatenate(
                     [shifted[(e, f)] for e in es for f in fs], axis=0
-                )                                                # (64, nb)
-                z1 = _mm(w1_ref[(p * 2 + q) * 128:(p * 2 + q + 1) * 128, :],
+                )                                                # (|E||F|*16, nb)
+                m1 = 4 * c1
+                z1 = _mm(w1_ref[(p * 2 + q) * m1:(p * 2 + q + 1) * m1, :],
                          q1) + b1_ref[:]
-                p1_parts.append(_phase_max(z1).astype(dtype))
-        p1_4 = jnp.concatenate(p1_parts, axis=0)                 # (128, nb)
+                p1_parts.append(_phase_max(z1, c1).astype(dtype))
+        p1_4 = jnp.concatenate(p1_parts, axis=0)                 # (4*C1, nb)
 
-        # L2: conv2 + relu + pool (base grid == coarse lanes)
-        q2 = _gather_q(p1_4, l2_slots, 32, masks, ss)                # (512, nb)
-        z2 = _mm(w2_ref[:], q2) + b2_ref[:]
-        p2 = _phase_max(z2).astype(dtype)                        # (32, nb)
+        # L2: conv2 + relu + pool (base grid == coarse lanes); chunked
+        # accumulation when K = (k2+1)^2*C1 exceeds the VMEM-friendly limit
+        z2 = _tapsum(
+            w2_ref,
+            [partial(_tap, p1_4, r * c1, c1, e, f, masks, ss)
+             for (r, e, f) in l2_slots],
+            c1,
+        ) + b2_ref[:]
+        p2 = _phase_max(z2, c2).astype(dtype)                    # (C2, nb)
 
         # L3: convT2 + relu -> 4 fine-parity planes directly
-        q3 = _gather_q(p2, l3_slots, 32, masks, ss)                  # (wz3^2*32, nb)
+        q3 = _gather_q(p2, l3_slots, c2, masks, ss)              # (wz3^2*C2, nb)
         d4 = jax.nn.relu(_mm(w3_ref[:], q3) + b3_ref[:]).astype(dtype)
 
         # L4: convT1 + relu -> e16 in production order (p, q, a, b, c)
         e_parts = []
-        for p in range(2):
-            for q in range(2):
-                q4 = _gather_q(d4, _l4_slots(p, q, wts.e4, wts.wz4), 32, masks, ss)
-                z4 = jax.nn.relu(_mm(w4_ref[:], q4) + b4_ref[:]).astype(dtype)
-                e_parts.append(z4)
+        for pi in range(4):
+            q4 = _gather_q(d4, l4_all[pi], c2, masks, ss)
+            z4 = jax.nn.relu(_mm(w4_ref[:], q4) + b4_ref[:]).astype(dtype)
+            e_parts.append(z4)                                   # (4*C1, nb)
 
         # L5: out conv + sigmoid -> o16 in production order (p, q, a, b).
         # Taps index straight into the four convT1 outputs (block // 4 picks
         # the producing parity, block % 4 the phase rows) — no e16 concat
         # buffer.
-        for p in range(2):
-            for q in range(2):
-                q5 = jnp.concatenate(
-                    [
-                        _tap(e_parts[blk // 4], (blk % 4) * 32, 32, e, f, masks, ss)
-                        for (blk, e, f) in _l5_slots(p, q)
-                    ],
-                    axis=0,
-                )                                                # (512, nb)
-                z5 = _mm(w5_ref[:], q5) + b5_ref[:]              # (4, nb)
-                pi = p * 2 + q
-                o_ref[pi * 4:(pi + 1) * 4, :] = jax.nn.sigmoid(z5).astype(
-                    o_ref.dtype
-                )
+        for pi in range(4):
+            z5 = _tapsum(
+                w5_ref,
+                [partial(_tap, e_parts[blk // 4], (blk % 4) * c1, c1, e, f,
+                         masks, ss)
+                 for (blk, e, f) in l5_all[pi]],
+                c1,
+            ) + b5_ref[:]                                        # (4, nb)
+            o_ref[pi * 4:(pi + 1) * 4, :] = jax.nn.sigmoid(z5).astype(
+                o_ref.dtype
+            )
 
     return kernel
 
@@ -464,11 +527,9 @@ def _pallas_ae(x16, wts: AEKernelWeights, block_tiles: int, interpret: bool,
     m = x16.shape[1]
     nb = block_tiles * LANES
     kern = _make_kernel(wts, nb, x16.dtype, ss)
-    k3 = wts.wz3 * wts.wz3 * 32
-    k4 = wts.wz4 * wts.wz4 * 32
 
-    def fixed(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def fixed(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kern,
@@ -476,11 +537,11 @@ def _pallas_ae(x16, wts: AEKernelWeights, block_tiles: int, interpret: bool,
         grid=(m // nb,),
         in_specs=[
             pl.BlockSpec((16, nb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            fixed((512, 64)), fixed((128, 1)),
-            fixed((128, 512)), fixed((128, 1)),
-            fixed((128, k3)), fixed((128, 1)),
-            fixed((128, k4)), fixed((128, 1)),
-            fixed((4, 512)), fixed((4, 1)),
+            fixed(wts.w1t), fixed(wts.b1),
+            fixed(wts.w2t), fixed(wts.b2),
+            fixed(wts.w3t), fixed(wts.b3),
+            fixed(wts.w4t), fixed(wts.b4),
+            fixed(wts.w5t), fixed(wts.b5),
         ],
         out_specs=pl.BlockSpec((16, nb), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,

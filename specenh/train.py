@@ -40,6 +40,7 @@ __all__ = [
     "bce_from_logits",
     "train_step",
     "train_epoch",
+    "kernel_epoch_for",
     "eval_loss",
     "fit",
     "predict",
@@ -229,6 +230,27 @@ def restore_checkpoint(state: TrainState, checkpoint_dir: str, epoch: int) -> Tr
     return state.replace(params=restored["params"], opt_state=restored["opt_state"])
 
 
+def kernel_epoch_for(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                     block_tiles: int = 1, interpret: bool = False,
+                     dtype=None):
+    """Epoch function on the fused Pallas TRAINING kernel
+    (specenh.ops.ae_train_kernel) — pass as ``fit(..., epoch_fn=...)``.
+    Forward+backward run in one VMEM-resident kernel; grads unscatter to
+    the same conv params, so checkpoints/val/predict are unchanged."""
+    import optax
+
+    from specenh.ops.ae_train_kernel import kernel_train_epoch_fn
+
+    tx = optax.adam(
+        train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2,
+        eps=train_cfg.adam_eps,
+    )
+    return kernel_train_epoch_fn(
+        model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
+        dtype=jnp.bfloat16 if dtype is None else dtype,
+    )
+
+
 def fit(
     state: TrainState,
     x_train: jax.Array,
@@ -240,6 +262,7 @@ def fit(
     metrics_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    epoch_fn=None,
     verbose: bool = False,
 ) -> tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent.  Returns (final_state, history) with history
@@ -248,7 +271,11 @@ def fit(
     With ``checkpoint_dir`` set and ``resume=True``, training continues
     from the latest saved epoch (params + optimizer state restored; the
     per-epoch shuffle streams are replayed so the batch order matches an
-    uninterrupted run)."""
+    uninterrupted run).
+
+    ``epoch_fn`` swaps the scanned-epoch engine (same signature as
+    ``train_epoch``) — e.g. ``kernel_epoch_for(...)`` for the fused
+    Pallas training kernel."""
     epochs = cfg.epochs if epochs is None else epochs
     n = x_train.shape[0]
     bs = min(cfg.batch_size, n)
@@ -300,7 +327,7 @@ def fit(
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)
         # whole epoch = ONE device program (scan over batches): one dispatch
         # per epoch instead of per batch
-        state, losses = train_epoch(
+        state, losses = (epoch_fn or train_epoch)(
             state, x_train, y_train, jnp.asarray(batch_idx), jnp.asarray(batch_mask)
         )
         epoch_loss = float(weighted_epoch_mean(losses, batch_mask))

@@ -191,6 +191,7 @@ def fit_streaming(
     metrics_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    epoch_fn=None,
     verbose: bool = False,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent over a streamed store.  Returns
@@ -261,7 +262,9 @@ def fit_streaming(
             bi, bm = _epoch_batches(nc, min(bs, nc), perm)
             xd, yd = jnp.asarray(xc), jnp.asarray(yc)  # async upload
             if train:
-                state, losses = train_epoch(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
+                state, losses = (epoch_fn or train_epoch)(
+                    state, xd, yd, jnp.asarray(bi), jnp.asarray(bm)
+                )
             else:
                 losses = eval_epoch(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
             # keep losses on device; the host loop continues reading the

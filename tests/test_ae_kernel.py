@@ -35,8 +35,51 @@ def setup():
 
 def test_supports():
     assert supports(CFG)
-    assert not supports(ModelConfig(filters=(16, 32)))
-    assert not supports(ModelConfig(kernels=((5, 5), (5, 5))))
+    # the full reference depth-2 family is covered since round 3
+    assert supports(ModelConfig(kernels=((5, 5), (5, 5)), out_kernel=(5, 5)))
+    assert supports(ModelConfig(kernels=((7, 7), (7, 7)), out_kernel=(7, 7)))
+    assert supports(ModelConfig(filters=(64, 32), kernels=((5, 5), (5, 5)),
+                                out_kernel=(5, 5)))
+    assert not supports(ModelConfig(filters=(16, 32)))       # sub-sublane C
+    assert not supports(ModelConfig(kernels=((9, 9), (3, 3))))
+    assert not supports(ModelConfig(filters=(16, 32, 64),
+                                    kernels=((3, 3),) * 3))  # depth 3
+
+
+# every reference depth-2 geometry: the kernel array sweep's k3/k5/k7
+# (hyperparam_scan.py:123) and the manual (64,32)/k5 config
+# (manual_scan.py:120-124)
+GEOMETRIES = [
+    ModelConfig(),
+    ModelConfig(kernels=((5, 5), (5, 5)), out_kernel=(5, 5)),
+    ModelConfig(kernels=((7, 7), (7, 7)), out_kernel=(7, 7)),
+    ModelConfig(filters=(64, 32), kernels=((5, 5), (5, 5)), out_kernel=(5, 5)),
+]
+
+
+@pytest.mark.parametrize("cfg", GEOMETRIES[1:], ids=["k5", "k7", "manual"])
+def test_kernel_generalized_geometries_f32_exact(cfg):
+    """f32 kernel vs the polyphase executor for every non-flagship
+    reference geometry — tight parity catches tap-table mistakes that
+    bf16 noise would hide."""
+    from specenh.ops import ae_kernel as AK
+
+    model = make_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(3), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    rng = np.random.default_rng(5)
+    tiles = jnp.asarray(rng.random((2, 256, 128, 1)), jnp.float32)
+    plan = build_plan(params, cfg)
+    want = np.asarray(fused_ae_apply(plan, tiles))
+    wts = build_kernel_weights(params, cfg, dtype=jnp.float32)
+    x16 = AK.tiles_to_x16(tiles, jnp.float32)
+    o16 = AK._pallas_ae(x16, wts, 1, True)
+    got = np.asarray(AK.o16_to_tiles(o16, tiles.shape[0]))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and vs the Flax model at bf16-kernel tolerance
+    want_flax = np.asarray(model.apply(params, tiles))
+    np.testing.assert_allclose(got, want_flax, atol=5e-3)
 
 
 def test_layout_roundtrip(setup):

@@ -1,0 +1,157 @@
+"""Fused Pallas TRAINING kernel (specenh.ops.ae_train_kernel) vs
+jax.value_and_grad on the Flax model — interpret mode on CPU.
+
+The gradient identity is the whole ballgame: the kernel trains the
+scattered operands and unscatters to conv-param grads; f32 parity with
+autodiff catches any tap-adjoint, pool-routing, or map mistake.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from specenh.config import ModelConfig, TrainConfig
+from specenh.models.autoencoder import make_model
+from specenh.ops.ae_train_kernel import (
+    build_train_maps,
+    kernel_train_epoch_fn,
+    kernel_value_and_grad,
+    make_kernel_train_step,
+)
+from specenh.train import bce_from_logits, create_state, train_epoch
+
+CFG = ModelConfig()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = make_model(CFG)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, *CFG.input_shape), np.float32)
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 256, 128, 1)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 256, 128, 1)) > 0.6), jnp.float32)
+    return model, params, x, y
+
+
+def _flax_value_and_grad(model, params, x, y, mask):
+    def loss_fn(p):
+        return bce_from_logits(model.apply(p, x, logits=True), y, mask)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def test_grad_parity_f32(setup):
+    """f32 kernel grads vs autodiff of the Flax model: every leaf."""
+    model, params, x, y = setup
+    mask = jnp.ones(2, jnp.float32)
+    ref_loss, ref_grads = _flax_value_and_grad(model, params, x, y, mask)
+    tm = build_train_maps(CFG)
+    loss, grads = kernel_value_and_grad(
+        params, x, y, mask, tm, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    flat_r, _ = jax.flatten_util.ravel_pytree(ref_grads)
+    flat_k, _ = jax.flatten_util.ravel_pytree(grads)
+    scale = float(jnp.abs(flat_r).max())
+    err = float(jnp.abs(flat_k - flat_r).max())
+    assert err < 2e-5 * max(scale, 1.0), (err, scale)
+
+
+def test_grad_parity_masked_batch(setup):
+    """A padded batch (mask 1,0) must produce grads identical to the
+    unpadded single-tile batch."""
+    model, params, x, y = setup
+    tm = build_train_maps(CFG)
+    loss_p, grads_p = kernel_value_and_grad(
+        params, x, y, jnp.asarray([1.0, 0.0]), tm, interpret=True,
+        dtype=jnp.float32,
+    )
+    loss_1, grads_1 = kernel_value_and_grad(
+        params, x[:1], y[:1], jnp.ones(1), tm, interpret=True,
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss_1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_p),
+                    jax.tree_util.tree_leaves(grads_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-8)
+
+
+def test_step_matches_flax_step(setup):
+    """One full optimizer step (Adam, Keras eps) matches train.train_step
+    to f32 tolerance."""
+    from specenh.train import train_step
+
+    model, params, x, y = setup
+    tc = TrainConfig()
+    mask = jnp.ones(2, jnp.float32)
+    state_f = create_state(CFG, tc).replace(params=params)
+    state_k = create_state(CFG, tc).replace(params=params)
+    tx = optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.adam_eps)
+    kstep = make_kernel_train_step(CFG, tx, interpret=True, dtype=jnp.float32)
+    state_f, loss_f = train_step(state_f, x, y, mask)
+    state_k, loss_k = kstep(state_k, x, y, mask)
+    np.testing.assert_allclose(float(loss_k), float(loss_f), rtol=1e-5)
+    fa, _ = jax.flatten_util.ravel_pytree(state_f.params)
+    ka, _ = jax.flatten_util.ravel_pytree(state_k.params)
+    # Adam's update is lr * m/(sqrt(v)+eps): for near-zero grads the ratio
+    # amplifies f32 reduction-order noise — allow a small fraction of the
+    # lr=1e-3 step size
+    np.testing.assert_allclose(np.asarray(ka), np.asarray(fa), atol=2e-4)
+
+
+def test_epoch_trajectory_matches_flax(setup):
+    """Two scanned epochs on the kernel vs train.train_epoch: losses track
+    to f32-accumulation tolerance."""
+    from specenh.train import _epoch_batches
+
+    model, params, x, y = setup
+    tc = TrainConfig()
+    bi, bm = _epoch_batches(2, 2, np.arange(2))
+    bi, bm = jnp.asarray(bi), jnp.asarray(bm)
+    tx = optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.adam_eps)
+    kepoch = kernel_train_epoch_fn(CFG, tx, interpret=True, dtype=jnp.float32)
+    state_f = create_state(CFG, tc).replace(params=params)
+    state_k = create_state(CFG, tc).replace(params=params)
+    for _ in range(2):
+        state_f, losses_f = train_epoch(state_f, x, y, bi, bm)
+        state_k, losses_k = kepoch(state_k, x, y, bi, bm)
+        np.testing.assert_allclose(
+            np.asarray(losses_k), np.asarray(losses_f), rtol=1e-4
+        )
+
+
+def test_fit_with_kernel_engine(setup):
+    """fit(epoch_fn=kernel_epoch_for(...)) — the CLI --engine kernel path —
+    tracks the stock fit trajectory."""
+    from specenh.train import fit, kernel_epoch_for
+
+    model, params, x, y = setup
+    tc = TrainConfig(batch_size=2, seed=0, shuffle=False)
+    s0 = create_state(CFG, tc).replace(params=params)
+    s1 = create_state(CFG, tc).replace(params=params)
+    _, h_flax = fit(s0, x, y, cfg=tc, epochs=2)
+    ep = kernel_epoch_for(CFG, tc, interpret=True, dtype=jnp.float32)
+    _, h_kern = fit(s1, x, y, cfg=tc, epochs=2, epoch_fn=ep)
+    np.testing.assert_allclose(h_kern["loss"], h_flax["loss"], rtol=1e-4)
+
+
+def test_bf16_kernel_grads_close(setup):
+    """bf16 operands (the production mode): grads within bf16 tolerance of
+    autodiff — the trajectory-parity analog of the --bf16 gate."""
+    model, params, x, y = setup
+    mask = jnp.ones(2, jnp.float32)
+    _, ref_grads = _flax_value_and_grad(model, params, x, y, mask)
+    tm = build_train_maps(CFG)
+    _, grads = kernel_value_and_grad(
+        params, x, y, mask, tm, interpret=True, dtype=jnp.bfloat16
+    )
+    flat_r, _ = jax.flatten_util.ravel_pytree(ref_grads)
+    flat_k, _ = jax.flatten_util.ravel_pytree(grads)
+    denom = float(jnp.abs(flat_r).max())
+    assert float(jnp.abs(flat_k - flat_r).max()) / denom < 5e-2

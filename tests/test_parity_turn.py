@@ -106,3 +106,37 @@ def test_enhance_specs_end_to_end_matches_flax():
     # bf16 kernel vs f32 Flax: same tolerance as the classic-layout kernel
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 5e-3, err
+
+
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [
+        dict(kernels=((5, 5), (5, 5)), out_kernel=(5, 5)),
+        dict(filters=(64, 32), kernels=((5, 5), (5, 5)), out_kernel=(5, 5)),
+    ],
+    ids=["k5", "manual"],
+)
+def test_enhance_specs_generalized_geometries(cfg_kw):
+    """The serving fast path for the round-3 generalized geometries
+    (reference array sweep k5, manual (64,32)/k5) through the SAME corner
+    turns — layout is geometry-independent."""
+    import jax
+
+    from specenh.config import ModelConfig
+    from specenh.data.tiles import patch, unpatch
+    from specenh.models.autoencoder import make_model
+    from specenh.ops.ae_kernel import ae_kernel_enhance_specs, build_kernel_weights
+
+    rng = np.random.default_rng(13)
+    cfg = ModelConfig(**cfg_kw)
+    model = make_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(1), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    wts = build_kernel_weights(params, cfg)
+    specs = jnp.asarray(rng.random((1, 256, 3 * 128)), jnp.float32)
+    got = ae_kernel_enhance_specs(wts, specs, k_tiles=3, interpret=True)
+    pred = model.apply(params, patch(specs)[..., None])
+    want = unpatch(jnp.squeeze(pred, -1), tiles_per_spec=3)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 5e-3, err
