@@ -51,3 +51,15 @@ ep = kernel_train_epoch_fn(cfg, tx, block_tiles=1)
 _, lk = ep(create_state(cfg, tc), x, y, bi, bm)
 d = float(jnp.abs(lf - lk).max())
 log(f"epoch loss maxdiff kernel(bf16) vs flax f32: {d:.2e}")
+
+# pre-layout engine comparison (appended round 3)
+log("kernel engine pre_layout=False")
+ep = kernel_train_epoch_fn(cfg, tx, block_tiles=1, pre_layout=False)
+st = create_state(cfg, tc)
+sec_np = time_fn(lambda s: ep(s, x, y, bi, bm), st, iters=4, warmup=1)
+log(f"RESULT kernel no-pre: {sec_np:.4f} s/epoch")
+log("kernel engine pre_layout=True")
+ep = kernel_train_epoch_fn(cfg, tx, block_tiles=1, pre_layout=True)
+st = create_state(cfg, tc)
+sec_p = time_fn(lambda s: ep(s, x, y, bi, bm), st, iters=4, warmup=1)
+log(f"RESULT kernel pre-layout: {sec_p:.4f} s/epoch ({sec_np/sec_p:.2f}x vs no-pre)")

@@ -176,15 +176,297 @@ def build_train_maps(cfg: ModelConfig = ModelConfig()) -> TrainMaps:
     return _build_train_maps_cached(cfg)
 
 
+# ---------------------------------------------------------------------------
+# structured (gather-free) weight assembly
+#
+# Element gathers/scatters on TPU run at ~7 ns/element (measured: 0.85 ms
+# for the 134k-entry operand set — 1.7 ms/step both ways, ~45% of the
+# whole train step).  But the id maps tile AFFINELY: every (br, bc) tile
+# of every operand is either zero or one whole kernel-tap slice
+# w[dy, dx, :, :] (possibly transposed) or a bias run — so the operands
+# can be assembled from STATIC slices of the param leaves (stack +
+# transpose + reshape; no gather), and the grads unscattered as static
+# slice sums (no scatter).  Derived from the maps, validated at build.
+# ---------------------------------------------------------------------------
+
+
+def _derive_structured(tm: TrainMaps):
+    """Per operand: (grid_shape, tile_shape, cells) where cells is a list
+    (grid-row-major) of None (zero tile) or (layer, leaf, index, flip):
+    index = (dy, dx) for kernel leaves / start for bias runs; flip = the
+    tile is the transposed slice."""
+    leaf_of = []  # (layer, leaf, shape, off, end)
+    for layer, leaf, shape, off in tm.layout:
+        leaf_of.append((layer, leaf, shape, off, off + int(np.prod(shape))))
+
+    def locate(b):
+        for layer, leaf, shape, off, end in leaf_of:
+            if off <= b < end:
+                return layer, leaf, shape, b - off
+        raise AssertionError(f"id {b} outside layout")
+
+    def tile_grid(m):
+        # coarsest affine tiling (same probe as the derivation notebook)
+        def affine_ok(t):
+            if (t < 0).all():
+                return True
+            if (t < 0).any():
+                return False
+            b = t[0, 0]
+            sr = t[1, 0] - b if t.shape[0] > 1 else 0
+            sc = t[0, 1] - b if t.shape[1] > 1 else 0
+            r = np.arange(t.shape[0])[:, None]
+            c = np.arange(t.shape[1])[None, :]
+            return bool((t == b + r * sr + c * sc).all())
+
+        for br in (128, 64, 32, 16, 8, 4, 2, 1):
+            if m.shape[0] % br:
+                continue
+            for bc in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+                if m.shape[1] % bc:
+                    continue
+                if all(
+                    affine_ok(m[i * br:(i + 1) * br, j * bc:(j + 1) * bc])
+                    for i in range(m.shape[0] // br)
+                    for j in range(m.shape[1] // bc)
+                ):
+                    return br, bc
+        raise AssertionError("no affine tiling")
+
+    progs = []
+    for m in tm.maps:
+        m = np.asarray(m)
+        m2 = m if m.ndim == 2 else m[:, None]
+        br, bc = tile_grid(m2)
+        gr, gc = m2.shape[0] // br, m2.shape[1] // bc
+        cells = []
+        for i in range(gr):
+            for j in range(gc):
+                t = m2[i * br:(i + 1) * br, j * bc:(j + 1) * bc]
+                if (t < 0).all():
+                    cells.append(None)
+                    continue
+                assert (t >= 0).all(), "mixed zero/value tile"
+                b = int(t[0, 0])
+                sr = int(t[1, 0] - b) if br > 1 else 0
+                sc = int(t[0, 1] - b) if bc > 1 else 0
+                layer, leaf, shape, rel = locate(b)
+                if leaf == "bias":
+                    if bc == 1 and sr == 1:
+                        cells.append((layer, "bias", rel, "run"))
+                    elif bc == 1 and sr == 0:
+                        # the same bias element broadcast down the tile
+                        # (out-conv's co=1 bias replicated over phases)
+                        cells.append((layer, "bias", rel, "bcast"))
+                    else:
+                        raise AssertionError((layer, br, bc, sr, sc))
+                else:
+                    kh, kw, ci, co = shape
+                    dy, dx, ci0, co0 = np.unravel_index(rel, shape)
+                    tap = (int(dy), int(dx))
+                    if bc == 1 and sr == 1:
+                        # consecutive run of the raveled leaf, as a column
+                        cells.append((layer, "kernel", int(rel), "colrun"))
+                    elif br == 1 and sc == 1:
+                        # consecutive run of the raveled leaf, as a row
+                        cells.append((layer, "kernel", int(rel), "rowrun"))
+                    elif ((ci0, co0) == (0, 0) and (br, bc) == (ci, co)
+                          and (sr, sc) == (co, 1)):
+                        cells.append((layer, "kernel", tap, "direct"))
+                    elif ((ci0, co0) == (0, 0) and (br, bc) == (co, ci)
+                          and (sr, sc) == (1, co)):
+                        cells.append((layer, "kernel", tap, "flip"))
+                    else:
+                        raise AssertionError(
+                            f"unrecognised tile {layer} {br}x{bc} strides {sr},{sc}"
+                        )
+        progs.append(((gr, gc), (br, bc), tuple(cells)))
+    return tuple(progs)
+
+
+def _structured_of(tm: TrainMaps):
+    hit = _STRUCT_CACHE.get(id(tm))
+    if hit is not None and hit[0] is tm:
+        if hit[1] is None:
+            raise AssertionError("maps do not tile affinely")
+        return hit[1]
+    try:
+        out = _derive_structured(tm)
+    except AssertionError:
+        _STRUCT_CACHE[id(tm)] = (tm, None)
+        raise
+    _STRUCT_CACHE[id(tm)] = (tm, out)
+    return out
+
+
+def _structured_or_none(tm: TrainMaps):
+    try:
+        return _structured_of(tm)
+    except AssertionError:
+        return None
+
+
+_STRUCT_CACHE: Dict[int, tuple] = {}
+
+
+def _assemble_operand(params, prog, op_shape, dtype):
+    """One operand from static leaf slices: stack tiles grid-major, then
+    (gr, gc, br, bc) -> (gr*br, gc*bc)."""
+    (gr, gc), (br, bc), cells = prog
+    tiles = []
+    zero = jnp.zeros((br, bc), jnp.float32)
+    for cell in cells:
+        if cell is None:
+            tiles.append(zero)
+            continue
+        layer, leaf, index, kind = cell
+        if leaf == "bias":
+            bvec = params["params"][layer]["bias"]
+            if kind == "run":
+                v = bvec[index:index + br][:, None]
+            else:  # bcast
+                v = jnp.broadcast_to(bvec[index], (br, bc))
+        else:
+            kern = params["params"][layer]["kernel"]
+            if kind == "colrun":
+                v = kern.reshape(-1)[index:index + br][:, None]
+            elif kind == "rowrun":
+                v = kern.reshape(-1)[index:index + bc][None, :]
+            else:
+                dy, dx = index
+                sl = kern[dy, dx]  # (ci, co)
+                v = sl.T if kind == "flip" else sl
+        tiles.append(v.astype(jnp.float32))
+    grid = jnp.stack(tiles).reshape(gr, gc, br, bc)
+    out = grid.transpose(0, 2, 1, 3).reshape(gr * br, gc * bc)
+    return out.reshape(op_shape)
+
+
+def gather_train_weights_structured(params, tm: TrainMaps, dtype=jnp.bfloat16):
+    """gather_train_weights without gathers (static slice assembly)."""
+    progs = _structured_of(tm)
+    ops = [
+        _assemble_operand(params, prog, np.asarray(m).shape, dtype)
+        for prog, m in zip(progs, tm.maps)
+    ]
+    w1t, b1, w2t, b2, w3t, b3, w4t, b4, w5t, b5 = ops
+    fwd = [w1t.astype(dtype), b1, w2t.astype(dtype), b2, w3t.astype(dtype),
+           b3, w4t.astype(dtype), b4, w5t.astype(dtype), b5]
+    bwd = [w2t.T.astype(dtype), w3t.T.astype(dtype), w4t.T.astype(dtype),
+           w5t.T.astype(dtype)]
+    return fwd, bwd
+
+
+def unscatter_grads_structured(grads_ops, tm: TrainMaps):
+    """unscatter_grads without scatters: per param leaf, the static sum of
+    the operand tiles that reference it."""
+    progs = _structured_of(tm)
+    acc: Dict[Tuple[str, str], Dict] = {}
+    for prog, g in zip(progs, grads_ops):
+        (gr, gc), (br, bc), cells = prog
+        g2 = g.reshape(gr, br, gc, bc).transpose(0, 2, 1, 3)  # (gr, gc, br, bc)
+        for n, cell in enumerate(cells):
+            if cell is None:
+                continue
+            layer, leaf, index, kind = cell
+            i, j = divmod(n, gc)
+            tile = g2[i, j].astype(jnp.float32)
+            d = acc.setdefault((layer, leaf), {})
+            d.setdefault((index, kind) if leaf == "bias" else index, []).append(
+                (tile, kind)
+            )
+    out: Dict[str, Dict[str, jax.Array]] = {}
+    for layer, leaf, shape, off in tm.layout:
+        d = acc.get((layer, leaf), {})
+        if leaf == "bias":
+            g = jnp.zeros(shape, jnp.float32)
+            for (start, kind), tiles in d.items():
+                if kind == "run":
+                    s = sum((t[:, 0] for t, _ in tiles[1:]),
+                            tiles[0][0][:, 0])
+                    g = g.at[start:start + s.shape[0]].add(s)
+                else:  # bcast: every element fed from the same bias entry
+                    s = sum(float(0.0) + t.sum() for t, _ in tiles)
+                    g = g.at[start].add(s)
+            out.setdefault(layer, {})["bias"] = g
+        else:
+            kh, kw, ci, co = shape
+
+            def tap_grad(tiles):
+                parts = [t.T if kind == "flip" else t for t, kind in tiles]
+                return sum(parts[1:], parts[0])
+
+            taps = []
+            runs = []  # (rel, 1-D values) accumulated on the raveled leaf
+            for key, tiles in d.items():
+                for t, kind in tiles:
+                    if kind == "colrun":
+                        runs.append((key, t[:, 0]))
+                    elif kind == "rowrun":
+                        runs.append((key, t[0, :]))
+            for dy in range(kh):
+                row = []
+                for dx in range(kw):
+                    tiles = [
+                        tk for tk in d.get((dy, dx), [])
+                        if tk[1] in ("direct", "flip")
+                    ]
+                    row.append(
+                        tap_grad(tiles) if tiles
+                        else jnp.zeros((ci, co), jnp.float32)
+                    )
+                taps.append(jnp.stack(row))
+            g = jnp.stack(taps)
+            if runs:
+                g_flat = g.reshape(-1)
+                for rel, vals in runs:
+                    g_flat = g_flat.at[rel:rel + vals.shape[0]].add(vals)
+                g = g_flat.reshape(shape)
+            out.setdefault(layer, {})["kernel"] = g
+    return {"params": out}
+
+
+_FUSED_CACHE: Dict[int, tuple] = {}
+
+
+def _fused_maps(tm: TrainMaps):
+    """One concatenated map over all 10 operands (measured: ten separate
+    57k-element gathers/scatters cost ~1.4-1.5 ms each way per batch on
+    v5e — fusing them into single ops cuts the dispatch+lowering count).
+    Cached per TrainMaps identity (ndarray fields are unhashable)."""
+    hit = _FUSED_CACHE.get(id(tm))
+    if hit is not None and hit[0] is tm:
+        return hit[1]
+    big = np.concatenate([np.asarray(m).ravel() for m in tm.maps])
+    sizes = [int(np.asarray(m).size) for m in tm.maps]
+    offs = np.cumsum([0] + sizes)
+    # cache NUMPY (a jnp constant created under one trace must not leak
+    # into another); jnp conversion at the use site is a free constant
+    out = (big.astype(np.int32), tuple(sizes), tuple(int(o) for o in offs[:-1]))
+    _FUSED_CACHE[id(tm)] = (tm, out)
+    return out
+
+
 def gather_train_weights(params, tm: TrainMaps, dtype=jnp.bfloat16):
     """Flax params -> (fwd operands, bwd-data operands), on device, traced
-    (runs every step — the scattered weights follow the optimizer)."""
+    (runs every step — the scattered weights follow the optimizer).
+
+    Routes through the structured (gather-free) static-slice assembly when
+    the maps tile affinely — true for every supported geometry; measured
+    0.93 -> 0.51 ms on v5e — and falls back to one fused gather over all
+    operands otherwise."""
+    if _structured_or_none(tm) is not None:
+        return gather_train_weights_structured(params, tm, dtype)
     flat = flatten_params(params)
-    ops = []
-    for m in tm.maps:
-        mj = jnp.asarray(m)
-        w = jnp.where(mj >= 0, flat[jnp.clip(mj, 0)], 0.0)
-        ops.append(w)
+    big_np, sizes, offs = _fused_maps(tm)
+    big = jnp.asarray(big_np)
+    all_w = jnp.where(big >= 0, flat[jnp.clip(big, 0)], 0.0)
+    ops = [
+        jax.lax.dynamic_slice_in_dim(all_w, off, size, 0).reshape(
+            np.asarray(m).shape
+        )
+        for m, size, off in zip(tm.maps, sizes, offs)
+    ]
     w1t, b1, w2t, b2, w3t, b3, w4t, b4, w5t, b5 = ops
     fwd = [w1t.astype(dtype), b1, w2t.astype(dtype), b2, w3t.astype(dtype),
            b3, w4t.astype(dtype), b4, w5t.astype(dtype), b5]
@@ -196,14 +478,18 @@ def gather_train_weights(params, tm: TrainMaps, dtype=jnp.bfloat16):
 
 def unscatter_grads(grads_ops, tm: TrainMaps):
     """Scattered-operand grads -> flat conv-param grads (duplicates sum:
-    the exact transpose of the gather in gather_train_weights)."""
-    flat = jnp.zeros((tm.n_params,), jnp.float32)
-    for g, m in zip(grads_ops, tm.maps):
-        mj = jnp.asarray(m).ravel()
-        valid = mj >= 0
-        flat = flat.at[jnp.clip(mj, 0)].add(
-            jnp.where(valid, g.astype(jnp.float32).ravel(), 0.0)
-        )
+    the exact transpose of the gather in gather_train_weights).  Static
+    slice-sum unscatter when the maps tile affinely (1.13 -> 0.51 ms on
+    v5e), else one fused scatter-add."""
+    if _structured_or_none(tm) is not None:
+        return unscatter_grads_structured(grads_ops, tm)
+    big = jnp.asarray(_fused_maps(tm)[0])
+    vals = jnp.concatenate(
+        [g.astype(jnp.float32).ravel() for g in grads_ops]
+    )
+    flat = jnp.zeros((tm.n_params,), jnp.float32).at[jnp.clip(big, 0)].add(
+        jnp.where(big >= 0, vals, 0.0)
+    )
     return unflatten_grads(flat, tm.layout)
 
 
@@ -232,7 +518,8 @@ def _rowsum(z):
     return jnp.sum(z, axis=1, keepdims=True)
 
 
-def _make_train_kernel(tm: TrainMaps, nb: int, dtype, ss: int = CT):
+def _make_train_kernel(tm: TrainMaps, nb: int, dtype, ss: int = CT,
+                       pre3d: bool = False):
     c1, c2 = tm.c1, tm.c2
     l2s = _l2_slots(tm.k2)
     l3s = [(0, tm.e3 + i, tm.e3 + j) for i in range(tm.wz3) for j in range(tm.wz3)]
@@ -260,8 +547,13 @@ def _make_train_kernel(tm: TrainMaps, nb: int, dtype, ss: int = CT):
                 r[...] = jnp.zeros(r.shape, r.dtype)
 
         masks = _make_masks(nb, dtype, ss, emax)
-        x16 = x16_ref[:]
-        tmask = tmask_ref[:]  # (1, nb) f32: 1 on real tiles, 0 on padding
+        # pre3d: per-tile (B, 16, LANES) operands — one tile per grid step,
+        # no 2-D corner-turn needed (the epoch engine converts the whole
+        # dataset once; batches are leading-dim gathers)
+        x16 = x16_ref[0] if pre3d else x16_ref[:]
+        y16_all = y16_ref[0] if pre3d else y16_ref[:]
+        # (1, nb) f32: 1 on real tiles, 0 on padding
+        tmask = tmask_ref[0] if pre3d else tmask_ref[:]
 
         def q1_of(pi):
             es, fs = l1_sets[pi]
@@ -332,7 +624,12 @@ def _make_train_kernel(tm: TrainMaps, nb: int, dtype, ss: int = CT):
         for pi in range(4):
             z5 = _mm(w5_ref[:], q5_of(pi)) + b5_ref[:]           # (4, nb)
             z5s.append(z5)
-            logits_ref[pi * 4:(pi + 1) * 4, :] = z5.astype(logits_ref.dtype)
+            if pre3d:
+                logits_ref[0, pi * 4:(pi + 1) * 4, :] = z5.astype(
+                    logits_ref.dtype
+                )
+            else:
+                logits_ref[pi * 4:(pi + 1) * 4, :] = z5.astype(logits_ref.dtype)
 
         # ---------- backward ----------
         # Static accumulation: contributions are gathered into per-(block,
@@ -349,7 +646,7 @@ def _make_train_kernel(tm: TrainMaps, nb: int, dtype, ss: int = CT):
         e_contrib = {pi: {} for pi in range(4)}  # pi -> phase blk -> [g]
         dw5 = db5 = None
         for pi in range(4):
-            y = y16_ref[pi * 4:(pi + 1) * 4, :].astype(jnp.float32)
+            y = y16_all[pi * 4:(pi + 1) * 4, :].astype(jnp.float32)
             dz5 = (jax.nn.sigmoid(z5s[pi]) - y) * tmask          # (4, nb)
             q5 = q5_of(pi)
             d5p = _mm_lane(dz5.astype(dtype), q5)
@@ -478,6 +775,75 @@ def tiles_to_y16(tiles: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return tiles_to_x16(tiles, dtype)[jnp.asarray(_prod_perm())]
 
 
+def tiles_to_x16_3d(tiles: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(B,256,128,1) -> (B, 16, 2048) per-tile parity form: the pre-layout
+    training operand — batches are leading-dim gathers, no per-batch
+    corner-turn (rows xi*4+phi, lanes s*32+t, as tiles_to_x16)."""
+    b = tiles.shape[0]
+    x = jnp.squeeze(tiles, -1).astype(dtype)
+    x = x.reshape(b, CS, 4, CT, 4)
+    return x.transpose(0, 4, 2, 1, 3).reshape(b, 16, LANES)
+
+
+def tiles_to_y16_3d(tiles: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(B,256,128,1) labels -> (B, 16, 2048), rows in PRODUCTION order."""
+    return tiles_to_x16_3d(tiles, dtype)[:, jnp.asarray(_prod_perm()), :]
+
+
+def _pallas_train_pre(x3, y3, mlanes, fwd, bwd, tm: TrainMaps,
+                      interpret: bool, dtype):
+    """Pre-layout variant: (B, 16, LANES) operands, one tile per grid
+    step, logits out in the same 3-D form."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x3.shape[0]
+    kern = _make_train_kernel(tm, LANES, dtype, pre3d=True)
+
+    def fixed_in(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    grad_shapes = [np.asarray(tm.maps[i]).shape for i in range(10)]
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 16, LANES), jnp.float32),
+            *[jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # (B, 1, LANES): a (1, LANES) trailing block is legal (== the
+            # overall trailing dims); a 2-D (1, LANES) block is not
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[fixed_in(w) for w in fwd],
+            *[fixed_in(w) for w in bwd],
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[acc_spec(s) for s in grad_shapes],
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(x3, y3, mlanes, *fwd, *bwd)
+
+
+def masked_bce_from_logits3d(logits3, y3, mask):
+    """Mean BCE over real tiles from (B, 16, LANES) logits/labels."""
+    z = logits3
+    y = y3.astype(jnp.float32)
+    per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    w = mask.astype(jnp.float32)[:, None, None]
+    return jnp.sum(per * w) / (jnp.sum(w) * 16.0 * LANES)
+
+
 def _tile_mask_lanes(mask: jax.Array) -> jax.Array:
     """(B,) 0/1 tile mask -> (1, B*2048) lane mask."""
     return jnp.repeat(mask.astype(jnp.float32), LANES)[None, :]
@@ -533,13 +899,50 @@ def make_kernel_train_step(cfg: ModelConfig, tx, block_tiles: int = 1,
 
 
 def kernel_train_epoch_fn(cfg: ModelConfig, tx, block_tiles: int = 1,
-                          interpret: bool = False, dtype=jnp.bfloat16):
+                          interpret: bool = False, dtype=jnp.bfloat16,
+                          pre_layout: bool = False):
     """Scanned whole-epoch program on the fused train kernel — the
-    train.train_epoch equivalent (one dispatch per epoch)."""
+    train.train_epoch equivalent (one dispatch per epoch).
+
+    ``pre_layout=True`` corner-turns the whole dataset into the per-tile
+    (B, 16, 2048) parity form once per epoch and feeds the kernel by
+    leading-dim gathers.  Measured on v5e: 0.323 vs 0.317 s/epoch for the
+    default per-batch-conversion form — XLA already overlaps the layout
+    conversions with the kernel, so the default stays False (kept for
+    layouts where the dataset arrives pre-turned)."""
     tm = build_train_maps(cfg)
+    denom_scale = float(np.prod(cfg.input_shape))
 
     @jax.jit
     def epoch(state, x, y, batch_idx, batch_mask):
+        if pre_layout:
+            x3 = tiles_to_x16_3d(x, dtype)
+            y3 = tiles_to_y16_3d(y, dtype)
+
+            def body(st, args):
+                idx, m = args
+                xb, yb = x3[idx], y3[idx]
+                ml = jnp.broadcast_to(
+                    m.astype(jnp.float32)[:, None, None],
+                    (m.shape[0], 1, LANES),
+                )
+                fwd, bwd = gather_train_weights(st.params, tm, dtype)
+                logits3, *gops = _pallas_train_pre(
+                    xb, yb, ml, fwd, bwd, tm, interpret, dtype
+                )
+                denom = jnp.sum(m) * denom_scale
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / denom, unscatter_grads(gops, tm)
+                )
+                loss = masked_bce_from_logits3d(logits3, yb, m)
+                updates, opt_state = tx.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                return st.replace(
+                    params=params, opt_state=opt_state, step=st.step + 1
+                ), loss
+
+            return jax.lax.scan(body, state, (batch_idx, batch_mask))
+
         def body(st, args):
             idx, m = args
             loss, grads = kernel_value_and_grad(

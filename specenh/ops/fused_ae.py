@@ -84,7 +84,14 @@ def _convt_response(kernel: np.ndarray, ci: int, co: int):
     import flax.linen as nn
 
     k = kernel.shape[0]
-    mod = nn.ConvTranspose(co, (k, k), strides=(2, 2), padding="SAME")
+    # HIGHEST precision: the default (bf16-decomposed on TPU) rounds the
+    # probed responses, which corrupts ae_train_kernel's id-through-f32
+    # maps when they are built on a TPU backend (measured: w3t/w4t ids off
+    # by one 32-entry block, CPU vs TPU maps diverging at 9k entries).
+    # Each probe output is a single product, so HIGHEST makes it an exact
+    # copy of the kernel entry on every backend.
+    mod = nn.ConvTranspose(co, (k, k), strides=(2, 2), padding="SAME",
+                           precision=jax.lax.Precision.HIGHEST)
     params = {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.zeros(co)}}
     n = 8  # probe grid, delta placed centrally
     p0 = n // 2

@@ -105,9 +105,11 @@ def test_step_matches_flax_step(setup):
     np.testing.assert_allclose(np.asarray(ka), np.asarray(fa), atol=2e-4)
 
 
-def test_epoch_trajectory_matches_flax(setup):
+@pytest.mark.parametrize("pre_layout", [True, False], ids=["pre3d", "turn2d"])
+def test_epoch_trajectory_matches_flax(setup, pre_layout):
     """Two scanned epochs on the kernel vs train.train_epoch: losses track
-    to f32-accumulation tolerance."""
+    to f32-accumulation tolerance (both the pre-layout per-tile form and
+    the 2-D corner-turn form)."""
     from specenh.train import _epoch_batches
 
     model, params, x, y = setup
@@ -115,7 +117,8 @@ def test_epoch_trajectory_matches_flax(setup):
     bi, bm = _epoch_batches(2, 2, np.arange(2))
     bi, bm = jnp.asarray(bi), jnp.asarray(bm)
     tx = optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.adam_eps)
-    kepoch = kernel_train_epoch_fn(CFG, tx, interpret=True, dtype=jnp.float32)
+    kepoch = kernel_train_epoch_fn(CFG, tx, interpret=True, dtype=jnp.float32,
+                                   pre_layout=pre_layout)
     state_f = create_state(CFG, tc).replace(params=params)
     state_k = create_state(CFG, tc).replace(params=params)
     for _ in range(2):
@@ -139,6 +142,73 @@ def test_fit_with_kernel_engine(setup):
     ep = kernel_epoch_for(CFG, tc, interpret=True, dtype=jnp.float32)
     _, h_kern = fit(s1, x, y, cfg=tc, epochs=2, epoch_fn=ep)
     np.testing.assert_allclose(h_kern["loss"], h_flax["loss"], rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        ModelConfig(),
+        ModelConfig(kernels=((5, 5), (5, 5)), out_kernel=(5, 5)),
+        ModelConfig(kernels=((7, 7), (7, 7)), out_kernel=(7, 7)),
+        ModelConfig(filters=(64, 32), kernels=((5, 5), (5, 5)),
+                    out_kernel=(5, 5)),
+    ],
+    ids=["k3", "k5", "k7", "manual"],
+)
+def test_structured_assembly_matches_gather(cfg):
+    """The gather-free static-slice assembly (the default path) must equal
+    the fused-gather assembly on every supported geometry, both directions.
+    Also guards the map build against backend precision drift: the ids are
+    probed through ConvTranspose at Precision.HIGHEST (fused_ae.py), and
+    the affine-tiling derivation rejects any corrupted map outright."""
+    from specenh.ops.ae_train_kernel import (
+        _fused_maps,
+        flatten_params,
+        gather_train_weights_structured,
+        unflatten_grads,
+        unscatter_grads_structured,
+    )
+
+    tm = build_train_maps(cfg)
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(1), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    # fused-gather reference, inlined (the public fns route to structured)
+    flat = flatten_params(params)
+    big_np, sizes, offs = _fused_maps(tm)
+    big = jnp.asarray(big_np)
+    all_w = jnp.where(big >= 0, flat[jnp.clip(big, 0)], 0.0)
+    ops = [
+        jax.lax.dynamic_slice_in_dim(all_w, off, size, 0).reshape(
+            np.asarray(m).shape
+        )
+        for m, size, off in zip(tm.maps, sizes, offs)
+    ]
+    fwd_s, bwd_s = gather_train_weights_structured(params, tm, jnp.float32)
+    w_ref = [ops[0], ops[2], ops[4], ops[6], ops[8]]
+    w_got = [fwd_s[0], fwd_s[2], fwd_s[4], fwd_s[6], fwd_s[8]]
+    for ref, got in zip(w_ref, w_got):
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(got, np.float32))
+    b_ref = [ops[1], ops[3], ops[5], ops[7], ops[9]]
+    b_got = [fwd_s[1], fwd_s[3], fwd_s[5], fwd_s[7], fwd_s[9]]
+    for ref, got in zip(b_ref, b_got):
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # unscatter: structured slice-sums vs the fused scatter-add
+    rng = np.random.default_rng(0)
+    gops = [jnp.asarray(rng.random(np.asarray(m).shape), jnp.float32)
+            for m in tm.maps]
+    vals = jnp.concatenate([g.ravel() for g in gops])
+    flat_g = jnp.zeros((tm.n_params,), jnp.float32).at[
+        jnp.clip(big, 0)
+    ].add(jnp.where(big >= 0, vals, 0.0))
+    ref_grads = unflatten_grads(flat_g, tm.layout)
+    got_grads = unscatter_grads_structured(gops, tm)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_bf16_kernel_grads_close(setup):
