@@ -39,19 +39,15 @@ def make_production_predict_fn(
     This is what ``specenh sweep``'s per-config ``pred_times`` artifact
     times (manual_scan.py:226-248 parity) — the reference times its own
     serving path, so ours must time the kernel where the kernel serves."""
-    from specenh.ops.ae_kernel import (
-        ae_kernel_apply,
-        build_kernel_weights,
-        supports as _kernel_supports,
-    )
+    build_wts, kernel_apply, _ = _kernel_family(model_cfg)
 
     kernel_on = use_kernel is True or (
         use_kernel == "auto"
         and dtype == jnp.bfloat16
-        and _kernel_supports(model_cfg)
+        and build_wts is not None
         and jax.default_backend() not in ("cpu",)
     )
-    if not kernel_on:
+    if not kernel_on or build_wts is None:
         model = make_model(model_cfg, dtype=dtype)
         return jax.jit(lambda params, tiles: model.apply(params, tiles))
 
@@ -61,14 +57,27 @@ def make_production_predict_fn(
         hit = wts_cache.get(id(params))
         if hit is None or hit[0] is not params:
             wts_cache.clear()
-            wts_cache[id(params)] = (
-                params, build_kernel_weights(params, model_cfg)
-            )
-        return ae_kernel_apply(
+            wts_cache[id(params)] = (params, build_wts(params, model_cfg))
+        return kernel_apply(
             wts_cache[id(params)][1], tiles, interpret=interpret
         )
 
     return fn
+
+
+def _kernel_family(model_cfg: ModelConfig):
+    """(build_weights, apply, enhance_specs) for the fused-kernel family
+    covering ``model_cfg`` — depth-2 (ops.ae_kernel) or depth-3
+    (ops.ae3_kernel) — or (None, None, None) when no kernel covers it."""
+    from specenh.ops import ae3_kernel, ae_kernel
+
+    if ae_kernel.supports(model_cfg):
+        return (ae_kernel.build_kernel_weights, ae_kernel.ae_kernel_apply,
+                ae_kernel.ae_kernel_enhance_specs)
+    if ae3_kernel.supports3(model_cfg):
+        return (ae3_kernel.build_kernel3_weights, ae3_kernel.ae3_kernel_apply,
+                ae3_kernel.ae3_kernel_enhance_specs)
+    return None, None, None
 
 
 def make_enhance_shot_fn(
@@ -91,10 +100,11 @@ def make_enhance_shot_fn(
     (SSIM 1.000000 / max |err| 8e-4 vs the golden HIGHEST path); pass
     dtype=None for full float32-HIGHEST everywhere.
 
-    ``use_kernel``: on TPU with the flagship geometry and bf16, the conv-AE
-    runs as the single fused Pallas kernel (specenh.ops.ae_kernel) — all
-    five layers in VMEM, ~1.6x the XLA conv pipeline.  "auto" enables it
-    exactly in that case; True forces, False disables (the Flax path).
+    ``use_kernel``: on TPU with a covered geometry and bf16, the conv-AE
+    runs as a single fused Pallas kernel — specenh.ops.ae_kernel for the
+    depth-2 family (2.1-3.1x the XLA conv pipeline, measured), or
+    specenh.ops.ae3_kernel for depth-3 (the deep3 preset).  "auto" enables
+    it exactly in that case; True forces, False disables (the Flax path).
 
     With ``mesh`` given, the service scales out: channels are sharded over
     ``axis`` (params replicated) and each chip enhances its slice — the
@@ -123,7 +133,7 @@ def make_enhance_shot_fn(
             f"shot too short to tile: {sp.n_frames} frames < tile width {ps.tile_time}"
         )
 
-    from specenh.ops.ae_kernel import supports as _kernel_supports
+    build_wts, _, kernel_enhance_specs = _kernel_family(model_cfg)
 
     # the kernel's shard_map serving form requires the channel count to
     # divide the mesh axis (every device runs the same per-block Pallas
@@ -132,23 +142,25 @@ def make_enhance_shot_fn(
     mesh_even = mesh is None or (
         n_channels is not None and n_channels % mesh.shape[axis] == 0
     )
-    kernel_on = use_kernel is True or (
-        use_kernel == "auto"
-        and dtype == jnp.bfloat16
-        and _kernel_supports(model_cfg)
-        and mesh_even
-        and jax.default_backend() not in ("cpu",)
+    if use_kernel is True and build_wts is None:
+        raise NotImplementedError(
+            f"no fused kernel covers this geometry: {model_cfg}"
+        )
+    kernel_on = build_wts is not None and (
+        use_kernel is True
+        or (
+            use_kernel == "auto"
+            and dtype == jnp.bfloat16
+            and mesh_even
+            and jax.default_backend() not in ("cpu",)
+        )
     )
 
     if kernel_on:
-        from specenh.ops.ae_kernel import (
-            ae_kernel_enhance_specs,
-            build_kernel_weights,
-        )
 
         def kernel_body(wts, traces):
             specs = spectrogram(traces, sp, precision=stft_prec)
-            return specs, ae_kernel_enhance_specs(
+            return specs, kernel_enhance_specs(
                 wts, specs, k_tiles, interpret=interpret
             )
 
@@ -187,7 +199,7 @@ def make_enhance_shot_fn(
             if hit is None or hit[0] is not params:
                 wts_cache.clear()
                 wts_cache[id(params)] = (
-                    params, build_kernel_weights(params, model_cfg)
+                    params, build_wts(params, model_cfg)
                 )
             return enhance_shot_kernel(wts_cache[id(params)][1], traces)
 

@@ -47,7 +47,8 @@ import numpy as np
 
 from specenh.config import ModelConfig
 
-__all__ = ["FusedAEPlan", "build_plan", "fused_ae_apply"]
+__all__ = ["FusedAEPlan", "build_plan", "fused_ae_apply",
+           "PolyLayer", "build_plan_layers", "polyphase_apply"]
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +293,87 @@ jax.tree_util.register_dataclass(
     data_fields=["w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4", "w5", "b5"],
     meta_fields=["e3", "e4", "k1", "k2", "wz3", "wz4", "k5"],
 )
+
+
+# ---------------------------------------------------------------------------
+# depth-generic polyphase plan (the correctness anchor for ANY depth —
+# notably the deep3 preset, manual_scan_3layers.py:185-201)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PolyLayer:
+    """One model layer in polyphase form.
+
+    kind 'conv_pool': stride-1 SAME conv + relu + 2x2 max-pool, evaluated
+    on the pooled grid (patch window k+1, all 4 phases in one matmul);
+    kind 'convt': stride-2 ConvTranspose + relu, window (e, wz) from
+    impulse probing; kind 'out': the stride-1 head conv, evaluated at
+    half resolution with 4 output phases.
+    """
+
+    kind: str
+    w: jax.Array
+    b: jax.Array
+    k: int = 0   # conv kernel size (conv_pool / out)
+    e: int = 0   # convT window offset
+    wz: int = 0  # convT window size
+
+
+jax.tree_util.register_dataclass(
+    PolyLayer, data_fields=["w", "b"], meta_fields=["kind", "k", "e", "wz"]
+)
+
+
+def build_plan_layers(params, cfg: ModelConfig, dtype=jnp.float32):
+    """ConvAutoencoder params -> list[PolyLayer], any depth with odd
+    square kernels.  ``build_plan`` stays the fixed depth-2 form consumed
+    by the Pallas kernels; this is the depth-generic anchor/executor plan
+    (reference: manual_scan_3layers.py:185-201 for the depth-3 family)."""
+    for k in (*cfg.kernels, cfg.out_kernel):
+        if k[0] != k[1] or k[0] % 2 == 0:
+            raise NotImplementedError("polyphase plan supports odd square kernels")
+    if min(cfg.input_shape[0], cfg.input_shape[1]) % (2 ** cfg.depth):
+        raise NotImplementedError("input must be divisible by 2^depth")
+    p = params["params"]
+
+    def rep4(b):
+        return np.tile(np.asarray(b), 4)
+
+    layers = []
+    for i, k in enumerate(cfg.kernels):
+        w = _conv_phase_weights(np.asarray(p[f"enc_conv{i}"]["kernel"]))
+        layers.append(PolyLayer(
+            "conv_pool", jnp.asarray(w, dtype),
+            jnp.asarray(rep4(p[f"enc_conv{i}"]["bias"]), dtype), k=k[0],
+        ))
+    for i in reversed(range(len(cfg.kernels))):
+        w, e, wz = _convt_phase_weights(np.asarray(p[f"dec_deconv{i}"]["kernel"]))
+        layers.append(PolyLayer(
+            "convt", jnp.asarray(w, dtype),
+            jnp.asarray(rep4(p[f"dec_deconv{i}"]["bias"]), dtype), e=e, wz=wz,
+        ))
+    w = _conv_phase_weights(np.asarray(p["out_conv"]["kernel"]))
+    layers.append(PolyLayer(
+        "out", jnp.asarray(w, dtype),
+        jnp.asarray(rep4(p["out_conv"]["bias"]), dtype), k=cfg.out_kernel[0],
+    ))
+    return layers
+
+
+def polyphase_apply(layers, x: jax.Array, logits: bool = False) -> jax.Array:
+    """Depth-generic polyphase executor, exactly equivalent to
+    ConvAutoencoder.apply (jit with ``layers`` as a pytree arg)."""
+    mm = partial(jnp.matmul, precision=_HI, preferred_element_type=jnp.float32)
+    for lyr in layers:
+        co4 = lyr.b.shape[0]
+        if lyr.kind == "conv_pool":
+            q = _patches_2x(x, x.shape[-1], lyr.k)
+            x = _pool_phases(mm(q, lyr.w) + lyr.b, co4 // 4)
+        elif lyr.kind == "convt":
+            q = _window_n(x, x.shape[-1], lyr.e, lyr.wz)
+            x = _phases_to_grid(jax.nn.relu(mm(q, lyr.w) + lyr.b), co4 // 4)
+        else:
+            q = _patches_2x(x, x.shape[-1], lyr.k)
+            x = _phases_to_grid(mm(q, lyr.w) + lyr.b, co4 // 4)
+    return x if logits else jax.nn.sigmoid(x)
