@@ -151,10 +151,11 @@ def cmd_train(args):
     if engine == "kernel":
         import jax
 
+        from specenh.ops.ae3_kernel import supports3 as _tk_supports3
         from specenh.ops.ae_train_kernel import supports as _tk_supports
         from specenh.train import kernel_epoch_for
 
-        if not _tk_supports(model_cfg):
+        if not (_tk_supports(model_cfg) or _tk_supports3(model_cfg)):
             raise SystemExit(
                 f"--engine kernel does not support the '{args.model}' "
                 "geometry; use f32/bf16"

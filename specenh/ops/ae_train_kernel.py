@@ -190,13 +190,14 @@ def build_train_maps(cfg: ModelConfig = ModelConfig()) -> TrainMaps:
 # ---------------------------------------------------------------------------
 
 
-def _derive_structured(tm: TrainMaps):
-    """Per operand: (grid_shape, tile_shape, cells) where cells is a list
-    (grid-row-major) of None (zero tile) or (layer, leaf, index, flip):
-    index = (dy, dx) for kernel leaves / start for bias runs; flip = the
-    tile is the transposed slice."""
+def _derive_one_map(m: np.ndarray, layout):
+    """One operand map -> (grid_shape, tile_shape, cells) where cells is a
+    list (grid-row-major) of None (zero tile) or (layer, leaf, index, kind):
+    index = (dy, dx) for kernel leaves / start for bias runs; kind 'flip'
+    marks a transposed slice.  Raises AssertionError when the map does not
+    tile affinely.  Shared with the depth-3 trainer (ae3_train_kernel)."""
     leaf_of = []  # (layer, leaf, shape, off, end)
-    for layer, leaf, shape, off in tm.layout:
+    for layer, leaf, shape, off in layout:
         leaf_of.append((layer, leaf, shape, off, off + int(np.prod(shape))))
 
     def locate(b):
@@ -233,55 +234,56 @@ def _derive_structured(tm: TrainMaps):
                     return br, bc
         raise AssertionError("no affine tiling")
 
-    progs = []
-    for m in tm.maps:
-        m = np.asarray(m)
-        m2 = m if m.ndim == 2 else m[:, None]
-        br, bc = tile_grid(m2)
-        gr, gc = m2.shape[0] // br, m2.shape[1] // bc
-        cells = []
-        for i in range(gr):
-            for j in range(gc):
-                t = m2[i * br:(i + 1) * br, j * bc:(j + 1) * bc]
-                if (t < 0).all():
-                    cells.append(None)
-                    continue
-                assert (t >= 0).all(), "mixed zero/value tile"
-                b = int(t[0, 0])
-                sr = int(t[1, 0] - b) if br > 1 else 0
-                sc = int(t[0, 1] - b) if bc > 1 else 0
-                layer, leaf, shape, rel = locate(b)
-                if leaf == "bias":
-                    if bc == 1 and sr == 1:
-                        cells.append((layer, "bias", rel, "run"))
-                    elif bc == 1 and sr == 0:
-                        # the same bias element broadcast down the tile
-                        # (out-conv's co=1 bias replicated over phases)
-                        cells.append((layer, "bias", rel, "bcast"))
-                    else:
-                        raise AssertionError((layer, br, bc, sr, sc))
+    m2 = m if m.ndim == 2 else m[:, None]
+    br, bc = tile_grid(m2)
+    gr, gc = m2.shape[0] // br, m2.shape[1] // bc
+    cells = []
+    for i in range(gr):
+        for j in range(gc):
+            t = m2[i * br:(i + 1) * br, j * bc:(j + 1) * bc]
+            if (t < 0).all():
+                cells.append(None)
+                continue
+            assert (t >= 0).all(), "mixed zero/value tile"
+            b = int(t[0, 0])
+            sr = int(t[1, 0] - b) if br > 1 else 0
+            sc = int(t[0, 1] - b) if bc > 1 else 0
+            layer, leaf, shape, rel = locate(b)
+            if leaf == "bias":
+                if bc == 1 and sr == 1:
+                    cells.append((layer, "bias", rel, "run"))
+                elif bc == 1 and sr == 0:
+                    # the same bias element broadcast down the tile
+                    # (out-conv's co=1 bias replicated over phases)
+                    cells.append((layer, "bias", rel, "bcast"))
                 else:
-                    kh, kw, ci, co = shape
-                    dy, dx, ci0, co0 = np.unravel_index(rel, shape)
-                    tap = (int(dy), int(dx))
-                    if bc == 1 and sr == 1:
-                        # consecutive run of the raveled leaf, as a column
-                        cells.append((layer, "kernel", int(rel), "colrun"))
-                    elif br == 1 and sc == 1:
-                        # consecutive run of the raveled leaf, as a row
-                        cells.append((layer, "kernel", int(rel), "rowrun"))
-                    elif ((ci0, co0) == (0, 0) and (br, bc) == (ci, co)
-                          and (sr, sc) == (co, 1)):
-                        cells.append((layer, "kernel", tap, "direct"))
-                    elif ((ci0, co0) == (0, 0) and (br, bc) == (co, ci)
-                          and (sr, sc) == (1, co)):
-                        cells.append((layer, "kernel", tap, "flip"))
-                    else:
-                        raise AssertionError(
-                            f"unrecognised tile {layer} {br}x{bc} strides {sr},{sc}"
-                        )
-        progs.append(((gr, gc), (br, bc), tuple(cells)))
-    return tuple(progs)
+                    raise AssertionError((layer, br, bc, sr, sc))
+            else:
+                kh, kw, ci, co = shape
+                dy, dx, ci0, co0 = np.unravel_index(rel, shape)
+                tap = (int(dy), int(dx))
+                if bc == 1 and sr == 1:
+                    # consecutive run of the raveled leaf, as a column
+                    cells.append((layer, "kernel", int(rel), "colrun"))
+                elif br == 1 and sc == 1:
+                    # consecutive run of the raveled leaf, as a row
+                    cells.append((layer, "kernel", int(rel), "rowrun"))
+                elif ((ci0, co0) == (0, 0) and (br, bc) == (ci, co)
+                      and (sr, sc) == (co, 1)):
+                    cells.append((layer, "kernel", tap, "direct"))
+                elif ((ci0, co0) == (0, 0) and (br, bc) == (co, ci)
+                      and (sr, sc) == (1, co)):
+                    cells.append((layer, "kernel", tap, "flip"))
+                else:
+                    raise AssertionError(
+                        f"unrecognised tile {layer} {br}x{bc} strides {sr},{sc}"
+                    )
+    return ((gr, gc), (br, bc), tuple(cells))
+
+
+def _derive_structured(tm: TrainMaps):
+    """All operands of a TrainMaps via _derive_one_map."""
+    return tuple(_derive_one_map(np.asarray(m), tm.layout) for m in tm.maps)
 
 
 def _structured_of(tm: TrainMaps):
@@ -360,7 +362,13 @@ def gather_train_weights_structured(params, tm: TrainMaps, dtype=jnp.bfloat16):
 def unscatter_grads_structured(grads_ops, tm: TrainMaps):
     """unscatter_grads without scatters: per param leaf, the static sum of
     the operand tiles that reference it."""
-    progs = _structured_of(tm)
+    return _unscatter_structured(grads_ops, _structured_of(tm), tm.layout)
+
+
+def _unscatter_structured(grads_ops, progs, layout):
+    """Generic core of unscatter_grads_structured over (progs, layout)
+    pairs — shared with the depth-3 trainer.  Leaves no operand tile
+    references get zero grads (the caller adds its own contributions)."""
     acc: Dict[Tuple[str, str], Dict] = {}
     for prog, g in zip(progs, grads_ops):
         (gr, gc), (br, bc), cells = prog
@@ -376,7 +384,7 @@ def unscatter_grads_structured(grads_ops, tm: TrainMaps):
                 (tile, kind)
             )
     out: Dict[str, Dict[str, jax.Array]] = {}
-    for layer, leaf, shape, off in tm.layout:
+    for layer, leaf, shape, off in layout:
         d = acc.get((layer, leaf), {})
         if leaf == "bias":
             g = jnp.zeros(shape, jnp.float32)

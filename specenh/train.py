@@ -233,18 +233,26 @@ def restore_checkpoint(state: TrainState, checkpoint_dir: str, epoch: int) -> Tr
 def kernel_epoch_for(model_cfg: ModelConfig, train_cfg: TrainConfig,
                      block_tiles: int = 1, interpret: bool = False,
                      dtype=None):
-    """Epoch function on the fused Pallas TRAINING kernel
-    (specenh.ops.ae_train_kernel) — pass as ``fit(..., epoch_fn=...)``.
-    Forward+backward run in one VMEM-resident kernel; grads unscatter to
+    """Epoch function on the fused Pallas TRAINING kernel — pass as
+    ``fit(..., epoch_fn=...)``.  Depth-2 geometries route to
+    specenh.ops.ae_train_kernel, depth-3 to ops.ae3_train_kernel; both run
+    forward+backward in one VMEM-resident kernel and unscatter grads to
     the same conv params, so checkpoints/val/predict are unchanged."""
     import optax
-
-    from specenh.ops.ae_train_kernel import kernel_train_epoch_fn
 
     tx = optax.adam(
         train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2,
         eps=train_cfg.adam_eps,
     )
+    if model_cfg.depth == 3:
+        from specenh.ops.ae3_train_kernel import kernel_train_epoch_fn3
+
+        return kernel_train_epoch_fn3(
+            model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
+            dtype=jnp.bfloat16 if dtype is None else dtype,
+        )
+    from specenh.ops.ae_train_kernel import kernel_train_epoch_fn
+
     return kernel_train_epoch_fn(
         model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
         dtype=jnp.bfloat16 if dtype is None else dtype,
