@@ -126,13 +126,29 @@ def measure_train(n: int = 7200, bs: int = 128) -> dict:
     print(f"# train epoch (kernel): {sec:.4f} s, {n / sec:.0f} tiles/s",
           file=sys.stderr)
     best = min(out.values())
-    return {
+    rec = {
         "train_s_per_epoch": round(best, 4),
         "train_tiles_per_sec": round(n / best, 1),
         "train_s_per_epoch_f32": round(out["f32"], 4),
         "train_s_per_epoch_bf16": round(out["bf16"], 4),
         "train_s_per_epoch_kernel": round(out["kernel"], 4),
     }
+    # depth-3 family (deep3 preset, manual_scan_3layers.py:203-214): the
+    # Flax f32 reference step vs the fused depth-3 training kernel
+    from specenh.config import MODEL_PRESETS
+
+    d3 = MODEL_PRESETS["deep3"]
+    state = create_state(d3, TrainConfig())
+    sec = time_fn(lambda st: train_epoch(st, x, y, bi, bm), state,
+                  iters=3, warmup=1)
+    rec["train3_s_per_epoch_f32"] = round(sec, 4)
+    print(f"# deep3 train epoch (f32): {sec:.4f} s", file=sys.stderr)
+    ep3 = kernel_epoch_for(d3, TrainConfig())
+    state = create_state(d3, TrainConfig())
+    sec = time_fn(lambda st: ep3(st, x, y, bi, bm), state, iters=3, warmup=1)
+    rec["train3_s_per_epoch_kernel"] = round(sec, 4)
+    print(f"# deep3 train epoch (kernel): {sec:.4f} s", file=sys.stderr)
+    return rec
 
 
 def measure_cpu_baseline(n_channels: int = 4) -> tuple[float, bool]:
