@@ -355,16 +355,31 @@ def cmd_sweep(args):
         from specenh.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.devices, ("sweep",))
-    res = sweep_fit(
-        configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
-        train_cfg, epochs=args.epochs, verbose=not args.quiet,
-        mesh=mesh,
-        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
-        checkpoint_dir=(
-            os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
-        ),
-        resume=args.resume,
-    )
+    ckpt_dir = os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
+    if getattr(args, "engine", "envelope") == "kernel":
+        from specenh.sweep import sweep_fit_serial
+
+        if mesh is not None:
+            raise SystemExit(
+                "--engine kernel is a single-chip serial sweep; use the "
+                "envelope engine with --devices for multi-chip grids"
+            )
+        res = sweep_fit_serial(
+            configs, splits.x_train, splits.y_train, splits.x_tune,
+            splits.y_tune, train_cfg, epochs=args.epochs,
+            dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+            checkpoint_dir=ckpt_dir, resume=args.resume,
+            verbose=not args.quiet,
+        )
+    else:
+        res = sweep_fit(
+            configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+            train_cfg, epochs=args.epochs, verbose=not args.quiet,
+            mesh=mesh,
+            dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+            checkpoint_dir=ckpt_dir,
+            resume=args.resume,
+        )
     np.save(os.path.join(args.out_dir, "val_losses.npy"), res.val_losses.reshape(grid_shape))
 
     # per-config inference timing (manual_scan.py:226-248 pred_times): each
@@ -687,6 +702,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "SLURM-array analog on a 'sweep' mesh)")
     w.add_argument("--bf16", action="store_true",
                    help="bfloat16-activation sweep training (1.5x epochs)")
+    w.add_argument("--engine", choices=["envelope", "kernel"],
+                   default="envelope",
+                   help="envelope: all configs vmapped at the largest "
+                        "geometry's cost (multi-chip capable); kernel: "
+                        "serial per-config fits on the fused Pallas "
+                        "training kernels (measured 3.3x on the k3/k5/k7 "
+                        "grid, single-chip)")
     w.add_argument("--no-time-configs", action="store_true",
                    help="skip the per-config pred_times measurement")
     w.add_argument("--checkpoints", action="store_true",

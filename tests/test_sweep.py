@@ -124,6 +124,69 @@ def test_sweep_matches_standalone_training():
     np.testing.assert_allclose(res.val_history[:, 0], losses, atol=1e-5)
 
 
+def test_embed_extract_roundtrip():
+    """embed_config_params is the exact inverse of extract_config_params."""
+    from specenh.sweep import embed_config_params
+
+    cfgs = [
+        ModelConfig(filters=(4, 8), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    env = envelope_config(cfgs)
+    stacked, _ = init_stacked_params(cfgs, env, seed=4)
+    rng = np.random.default_rng(6)
+    small = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), jnp.float32),
+        extract_config_params(stacked, 0, cfgs[0], env),
+    )
+    stacked2 = embed_config_params(stacked, 0, cfgs[0], env, small)
+    back = extract_config_params(stacked2, 0, cfgs[0], env)
+    for a, b in zip(jax.tree_util.tree_leaves(small),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config 1 untouched
+    for a, b in zip(
+        jax.tree_util.tree_leaves(extract_config_params(stacked, 1, cfgs[1], env)),
+        jax.tree_util.tree_leaves(extract_config_params(stacked2, 1, cfgs[1], env)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_serial_sweep_matches_envelope():
+    """sweep_fit_serial (per-config fits, Flax fallback at this tiny
+    geometry) must reproduce the envelope sweep's trajectories: same
+    per-config glorot init, same shuffle stream, same loss bookkeeping."""
+    from specenh.sweep import sweep_fit_serial
+
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    x, y = _data(24)
+    xv, yv = _data(8, seed=1)
+    tc = TrainConfig(batch_size=8, seed=0)
+    res_env = sweep_fit(cfgs, x, y, xv, yv, tc, epochs=3)
+    res_ser = sweep_fit_serial(cfgs, x, y, xv, yv, tc, epochs=3)
+    np.testing.assert_allclose(
+        res_ser.train_history, res_env.train_history, rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        res_ser.val_history, res_env.val_history, rtol=1e-3, atol=1e-5
+    )
+    assert res_ser.best_index == res_env.best_index
+    # stacked re-embedding round-trips to the serial finals
+    env = res_ser.env
+    for i, cfg in enumerate(cfgs):
+        got = extract_config_params(res_ser.stacked_params, i, cfg, env)
+        fin = (res_ser.best_params if i == res_ser.best_index
+               else None)
+        if fin is not None:
+            for a, b in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(fin)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-7)
+
+
 def test_marginal_report():
     vals = np.arange(12, dtype=np.float64)
     rep = marginal_report(vals, (3, 4), ["a", "b"])
