@@ -40,6 +40,18 @@ def main(out_dir="out/example04"):
         TrainConfig(batch_size=32), epochs=3, verbose=True,
     )
     print("kernel sweep val losses:", res.val_losses, "best:", res.best_index)
+
+    # the same grid on the serial engine (each config at its own geometry
+    # cost instead of the envelope's k7 cost for all three; on a TPU drop
+    # engine='flax' to train on the fused Pallas kernels — 3.3x measured,
+    # `specenh sweep --engine kernel`)
+    from specenh.sweep import sweep_fit_serial
+
+    res_k = sweep_fit_serial(
+        kernel_configs, x[:a], y[:a], x[a:b], y[a:b],
+        TrainConfig(batch_size=32), epochs=3, engine="flax",
+    )
+    print("serial engine val losses:", res_k.val_losses)
     np.save(os.path.join(out_dir, "val_losses.npy"), res.val_losses)
 
     # a small manual_scan-style grid with marginal reporting

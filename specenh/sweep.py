@@ -506,9 +506,14 @@ def sweep_fit_serial(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     interpret: Optional[bool] = None,
+    engine: str = "kernel",
     verbose: bool = False,
 ) -> SweepResult:
     """Serial per-config sweep on the fused Pallas TRAINING kernels.
+
+    ``engine='flax'`` forces the stock scanned Flax epoch for every config
+    (still serial at own-geometry cost — useful on CPU, where the kernel
+    path would run in slow interpret mode).
 
     The vmapped envelope (``sweep_fit``) trains every config at the cost
     of the LARGEST geometry in the grid; this engine trains each config at
@@ -552,7 +557,7 @@ def sweep_fit_serial(
             params=jax.tree_util.tree_map(jnp.asarray, params0)
         )
         epoch_fn = None
-        if _supports2(cfg) or _supports3(cfg):
+        if engine == "kernel" and (_supports2(cfg) or _supports3(cfg)):
             epoch_fn = kernel_epoch_for(cfg, train_cfg, interpret=interpret,
                                         dtype=dtype)
         state, hist = fit(
