@@ -328,7 +328,32 @@ def cmd_sweep(args):
     from specenh.train import create_state, save_model
     from specenh.viz.plots import plot_val_loss
 
-    sw = SweepConfig(epochs=args.epochs)
+    def _kers(s):
+        return tuple((int(v), int(v)) for v in s.split(","))
+
+    def _ints(s):
+        return tuple(int(v) for v in s.split(","))
+
+    # grid-axis overrides: the reference user edits the scan scripts'
+    # constants (hyperparam_scan.py:123, manual_scan.py:120-124,
+    # manual_scan_3layers.py:119-123); here they are flags
+    over = {}
+    if args.kernel_vals:
+        over["kernel_vals"] = _kers(args.kernel_vals)
+    if args.grid == "3layer":
+        if args.ker:
+            over["ker_vals_3layer"] = _kers(args.ker)
+        for ax in ("conv1", "conv2", "conv3"):
+            if getattr(args, ax):
+                over[f"{ax}_vals_3layer"] = _ints(getattr(args, ax))
+    else:
+        for ax in ("ker1", "ker2", "ker3"):
+            if getattr(args, ax):
+                over[f"{ax}_vals"] = _kers(getattr(args, ax))
+        for ax in ("conv1", "conv2"):
+            if getattr(args, ax):
+                over[f"{ax}_vals"] = _ints(getattr(args, ax))
+    sw = SweepConfig(epochs=args.epochs, **over)
     if args.grid == "kernel":
         from specenh.config import ModelConfig
 
@@ -694,6 +719,23 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--dataset", required=True)
     w.add_argument("--out-dir", required=True)
     w.add_argument("--grid", choices=["kernel", "2layer", "3layer"], default="kernel")
+    w.add_argument("--kernel-vals", default=None, metavar="K,K,...",
+                   help="kernel-grid square kernel sizes "
+                        "(hyperparam_scan.py:123; default 3,5,7)")
+    w.add_argument("--ker", default=None, metavar="K,...",
+                   help="3layer grid kernel sizes "
+                        "(manual_scan_3layers.py:119; default 5)")
+    w.add_argument("--ker1", default=None, metavar="K,...",
+                   help="2layer grid axis (manual_scan.py:120; default 5)")
+    w.add_argument("--ker2", default=None, metavar="K,...")
+    w.add_argument("--ker3", default=None, metavar="K,...")
+    w.add_argument("--conv1", default=None, metavar="C,...",
+                   help="filter-count axis (2layer default 64; 3layer 16)")
+    w.add_argument("--conv2", default=None, metavar="C,...",
+                   help="filter-count axis (default 32)")
+    w.add_argument("--conv3", default=None, metavar="C,...",
+                   help="3layer filter-count axis "
+                        "(manual_scan_3layers.py:122; default 64)")
     w.add_argument("--epochs", type=int, default=15)
     w.add_argument("--num-shots", type=int, default=20)
     w.add_argument("--seed", type=int, default=0)

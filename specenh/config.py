@@ -146,7 +146,10 @@ class SweepConfig:
     """Hyperparameter sweep grids.
 
     kernel_vals mirrors VAE/hyperparam_scan.py:123; the 5-axis grid mirrors
-    VAE/manual_scan.py:120-124, the 4-axis grid manual_scan_3layers.py:119-123.
+    VAE/manual_scan.py:120-124; the 4-axis (3-layer) grid has its OWN axes
+    mirroring manual_scan_3layers.py:119-123 — the shipped 3-layer scan is
+    the single deep3 config (k5, convs 16/32/64), NOT the 2-layer manual
+    scan's 64/32 filters.
     """
 
     kernel_vals: Sequence[Tuple[int, int]] = ((3, 3), (5, 5), (7, 7))
@@ -156,6 +159,11 @@ class SweepConfig:
     conv1_vals: Sequence[int] = (64,)
     conv2_vals: Sequence[int] = (32,)
     conv3_vals: Sequence[int] = (64,)
+    # manual_scan_3layers.py:119-123 axes (expand_grid_3layer)
+    ker_vals_3layer: Sequence[Tuple[int, int]] = ((5, 5),)
+    conv1_vals_3layer: Sequence[int] = (16,)
+    conv2_vals_3layer: Sequence[int] = (32,)
+    conv3_vals_3layer: Sequence[int] = (64,)
     epochs: int = 100
 
 

@@ -669,8 +669,11 @@ def _pallas_train3(x64, y64, tmask, fwd, bwd, tm: TrainMaps3,
         ],
         out_specs=out_specs,
         interpret=interpret,
+        # 125M: the k7/(64,32,64) grid corner needs 114.8M scoped (measured;
+        # 110M rejected it); the limit only gates, smaller geometries compile
+        # identically.  v5e VMEM is 128M.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            vmem_limit_bytes=125 * 1024 * 1024
         ),
     )(x64, y64, tmask, *fwd, *bwd)
 

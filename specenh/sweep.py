@@ -79,15 +79,21 @@ def expand_grid_2layer(sw: SweepConfig) -> Tuple[List[ModelConfig], Tuple[int, .
 
 
 def expand_grid_3layer(sw: SweepConfig) -> Tuple[List[ModelConfig], Tuple[int, ...]]:
-    """manual_scan_3layers.py grid: (ker, conv1, conv2, conv3)."""
-    kers = list(sw.kernel_vals)
+    """manual_scan_3layers.py grid: (ker, conv1, conv2, conv3).
+
+    Uses the dedicated ``*_3layer`` axes (manual_scan_3layers.py:119-123):
+    the shipped reference scan is the single deep3 config — k5, filters
+    (16, 32, 64) — not the 2-layer manual scan's 64/32."""
+    kers = list(sw.ker_vals_3layer)
     cfgs = [
         ModelConfig(filters=(c1, c2, c3), kernels=(k, k, k), out_kernel=k)
         for k, c1, c2, c3 in itertools.product(
-            kers, sw.conv1_vals, sw.conv2_vals, sw.conv3_vals
+            kers, sw.conv1_vals_3layer, sw.conv2_vals_3layer,
+            sw.conv3_vals_3layer
         )
     ]
-    shape = (len(kers), len(sw.conv1_vals), len(sw.conv2_vals), len(sw.conv3_vals))
+    shape = (len(kers), len(sw.conv1_vals_3layer),
+             len(sw.conv2_vals_3layer), len(sw.conv3_vals_3layer))
     return cfgs, shape
 
 

@@ -99,6 +99,25 @@ def test_sweep_cli_kernel_grid(workspace, capfd):
     assert os.path.exists(os.path.join(out, "val_losses.npy"))
 
 
+def test_sweep_cli_3layer_grid_axes(workspace, capfd):
+    """--grid 3layer uses the manual_scan_3layers.py axes, and the CLI
+    axis flags override them (tiny custom grid end-to-end)."""
+    ds = str(workspace / "data.hdf5")
+    out = str(workspace / "sweep3")
+    main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "3layer",
+          "--ker", "3", "--conv1", "4", "--conv2", "4,8", "--conv3", "4",
+          "--epochs", "1", "--num-shots", "2", "--no-time-configs",
+          "--quiet"])
+    rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_configs"] == 2 and np.isfinite(rec["best_val_loss"])
+    lc = np.load(os.path.join(out, "loss_comparisons.npz"))
+    # axis names follow manual_scan_3layers.py's val_losses tensor
+    assert set(lc.files) == {"ker_loss", "ker_time", "conv1_loss",
+                             "conv1_time", "conv2_loss", "conv2_time",
+                             "conv3_loss", "conv3_time"}
+    assert np.load(os.path.join(out, "val_losses.npy")).shape == (1, 1, 2, 1)
+
+
 def test_train_raw_device_resident(workspace, capfd):
     raw = str(workspace / "raw")
     out = str(workspace / "train_raw")

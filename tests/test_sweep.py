@@ -37,10 +37,20 @@ def test_grid_expansion_shapes():
     cfgs, shape = expand_grid_2layer(sw)
     assert shape == (2, 1, 1, 2, 1) and len(cfgs) == 4
     cfgs3, shape3 = expand_grid_3layer(
-        SweepConfig(kernel_vals=((3, 3),), conv1_vals=(4,), conv2_vals=(4, 8), conv3_vals=(4,))
+        SweepConfig(ker_vals_3layer=((3, 3),), conv1_vals_3layer=(4,),
+                    conv2_vals_3layer=(4, 8), conv3_vals_3layer=(4,))
     )
     assert shape3 == (1, 1, 2, 1) and len(cfgs3) == 2
     assert cfgs3[0].depth == 3
+
+
+def test_default_3layer_grid_is_reference_scan():
+    # manual_scan_3layers.py:119-123 ships ker=[(5,5)], convs 16/32/64 —
+    # the deep3 preset — NOT the 2-layer manual scan's 64/32 filters
+    cfgs, shape = expand_grid_3layer(SweepConfig())
+    assert shape == (1, 1, 1, 1) and len(cfgs) == 1
+    assert cfgs[0].filters == (16, 32, 64)
+    assert cfgs[0].kernels == ((5, 5),) * 3 and cfgs[0].out_kernel == (5, 5)
 
 
 def test_envelope_is_max():
