@@ -88,6 +88,7 @@ def make_enhance_shot_fn(
     mesh=None,
     axis: str = "data",
     use_kernel: object = "auto",
+    stft_mode: str = "auto",
     interpret: bool = False,
     n_channels: Optional[int] = None,
 ) -> Callable:
@@ -114,6 +115,16 @@ def make_enhance_shot_fn(
     single-chip Pallas program on its channel block (the service has no
     cross-channel coupling — STFT min-max is per-channel — so no
     collectives are needed).
+
+    ``stft_mode``: with the depth-2 fused kernel serving in bf16, the
+    front-end can run as the fused (T,F)-layout Pallas STFT whose
+    corner-turn absorbs the transpose (ops.stft_fused).  In isolation it
+    wins (1.188 vs 1.450 ms traces->x16) but the FULL service measures
+    SLOWER with it (6.1-7.7 vs 5.7-5.9 ms/shot — the specs output
+    re-read plus a 4th serialized Pallas program lose the overlap XLA
+    gives the spectrogram stage), so "auto" keeps the XLA front-end;
+    "fused" opts in (raises if the geometry/dtype rules it out) — the
+    right choice only for x16-only consumers without the specs output.
 
     ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
     """
@@ -156,13 +167,48 @@ def make_enhance_shot_fn(
         )
     )
 
+    from specenh.ops import ae_kernel as _aek
+    from specenh.ops import stft_fused as _sf
+
+    fused_eligible = (
+        kernel_on
+        and dtype == jnp.bfloat16
+        and _sf.supported(sp)
+        and _aek.supports(model_cfg)
+    )
+    if stft_mode not in ("auto", "fused", "xla"):
+        raise ValueError(f"stft_mode must be auto/fused/xla: {stft_mode}")
+    if stft_mode == "fused" and not fused_eligible:
+        raise NotImplementedError(
+            "stft_mode='fused' needs the depth-2 fused kernel serving in "
+            f"bf16 with the reference STFT geometry: {model_cfg}, {sp}"
+        )
+    fused_front = stft_mode == "fused"  # auto = xla (measured winner)
+
     if kernel_on:
 
-        def kernel_body(wts, traces):
-            specs = spectrogram(traces, sp, precision=stft_prec)
-            return specs, kernel_enhance_specs(
-                wts, specs, k_tiles, interpret=interpret
-            )
+        if fused_front:
+
+            nf = sp.n_frames  # static: the jit-returned count is traced
+
+            def kernel_body(wts, traces):
+                a, mn, mx, _ = _sf.stft_tf_log(traces, sp,
+                                               interpret=interpret)
+                i_ = _aek.enhance_interleave(wts, k_tiles)
+                x16 = _sf.specs_tf_to_x16_2d(a, mn, mx, k_tiles, i_,
+                                             interpret)
+                enhanced = _aek.ae_kernel_enhance_x16(
+                    wts, x16, k_tiles, i_, interpret=interpret
+                )
+                return _sf.normalized_specs(a, mn, mx, nf), enhanced
+
+        else:
+
+            def kernel_body(wts, traces):
+                specs = spectrogram(traces, sp, precision=stft_prec)
+                return specs, kernel_enhance_specs(
+                    wts, specs, k_tiles, interpret=interpret
+                )
 
         if mesh is None:
             enhance_shot_kernel = jax.jit(kernel_body)

@@ -568,8 +568,46 @@ def ae_kernel_apply(wts: AEKernelWeights, tiles: jax.Array,
     return o16_to_tiles(o16, b)
 
 
+def enhance_interleave(wts: AEKernelWeights, k_tiles: int) -> int:
+    """Corner-turn interleave the serving path runs with: parity_turn's
+    default, halved for big-K geometries — k7's 2048-row conv2 and the
+    manual config's 2304 overflow VMEM at the 6-tile interleave (measured:
+    Mosaic compile failure on v5e); the corner turns still get >=96-lane
+    windows at 3."""
+    from specenh.ops.parity_turn import pick_interleave
+
+    i_ = pick_interleave(k_tiles)
+    kmax = max((wts.k2 + 1) ** 2 * wts.c1, (wts.k5 + 1) ** 2 * wts.c1)
+    if kmax > 1536 and i_ > 3:
+        i_ = max(j for j in (3, 2, 1) if k_tiles % j == 0)
+    return i_
+
+
+@functools.partial(jax.jit, static_argnames=("k_tiles", "interleave",
+                                             "block_tiles", "interpret",
+                                             "out_dtype"))
+def ae_kernel_enhance_x16(wts: AEKernelWeights, x16: jax.Array,
+                          k_tiles: int, interleave: int,
+                          block_tiles: int = 0, interpret: bool = False,
+                          out_dtype=jnp.float32) -> jax.Array:
+    """(16, C*k*2048) parity rows (already normalized, interleave
+    ``interleave``) -> (C, 256, k*128) restitched enhancement.  The back
+    half of ``ae_kernel_enhance_specs`` — the fused-STFT front-end
+    (ops.stft_fused) produces x16 directly, skipping the (F,T) specs."""
+    from specenh.ops.parity_turn import o16_2d_to_specs
+
+    i_ = interleave
+    c = x16.shape[1] // (k_tiles * LANES)
+    if block_tiles == 0:
+        block_tiles = i_
+    if block_tiles % i_:
+        raise ValueError(f"block_tiles must be a multiple of the group size {i_}")
+    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype, ss=i_ * CT)
+    return o16_2d_to_specs(o16, c, k_tiles, i_, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("k_tiles", "block_tiles",
-                                              "interpret", "out_dtype"))
+                                             "interpret", "out_dtype"))
 def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
                             k_tiles: int, block_tiles: int = 0,
                             interpret: bool = False,
@@ -582,24 +620,9 @@ def ae_kernel_enhance_specs(wts: AEKernelWeights, specs: jax.Array,
     every corner-turn DMA window is >=96 lanes; the kernel runs with lane
     stride ``ss = 32*I``.  ``block_tiles=0`` processes one group per grid
     step; explicit values must be multiples of the group size."""
-    from specenh.ops.parity_turn import (
-        o16_2d_to_specs,
-        pick_interleave,
-        specs_to_x16_2d,
-    )
+    from specenh.ops.parity_turn import specs_to_x16_2d
 
-    c = specs.shape[0]
-    i_ = pick_interleave(k_tiles)
-    # big-K geometries (k7's 2048-row conv2, manual's 2304) overflow VMEM
-    # at the 6-tile interleave (measured: Mosaic compile failure on v5e);
-    # halve the group — the corner turns still get >=96-lane windows
-    kmax = max((wts.k2 + 1) ** 2 * wts.c1, (wts.k5 + 1) ** 2 * wts.c1)
-    if kmax > 1536 and i_ > 3:
-        i_ = max(j for j in (3, 2, 1) if k_tiles % j == 0)
-    if block_tiles == 0:
-        block_tiles = i_
-    if block_tiles % i_:
-        raise ValueError(f"block_tiles must be a multiple of the group size {i_}")
+    i_ = enhance_interleave(wts, k_tiles)
     x16 = specs_to_x16_2d(specs, k_tiles, i_, interpret)
-    o16 = _pallas_ae(x16, wts, block_tiles, interpret, out_dtype, ss=i_ * CT)
-    return o16_2d_to_specs(o16, c, k_tiles, i_, interpret)
+    return ae_kernel_enhance_x16(wts, x16, k_tiles, i_, block_tiles,
+                                 interpret, out_dtype)

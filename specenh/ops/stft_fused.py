@@ -1,0 +1,279 @@
+"""Fused (T,F)-layout STFT Pallas kernel + mirrored corner-turn.
+
+The production front-end (``ops.stft.spectrogram`` + ``parity_turn.
+specs_to_x16_2d``) materializes the spectrogram in (F, T) layout, which
+costs a hardware transpose somewhere: either XLA's transpose engine
+(~150 GB/s) or the corner-turn's one-hot gather.  This module flips the
+dataflow: the STFT kernel writes log-PSD blocks in their NATURAL (T, F)
+layout (frames are the matmul M dim), and the corner-turn absorbs the
+(T,F)->(F,T) transpose into its one-hot gather for free — ``sel =
+dot_general(natT, colsel, contract dim0.dim0)`` is the MXU's native
+lhsT dataflow, so no transpose op ever exists.
+
+Measured on the v5e (20-channel reference shot, slope-timed):
+
+* STFT kernel (log-PSD + in-kernel min/max partials): 0.789 ms vs
+  1.358 ms for the XLA bf16 single-pass spectrogram.
+* mirrored corner-turn (normalize + transpose + gather): 0.253 ms vs
+  0.740 ms for XLA normalize+transpose + ``specs_to_x16_2d``.
+* composed traces -> x16 (the AE kernel's operand): 1.188 ms vs
+  1.450 ms (-18%); with the (F, T) specs output also materialized
+  (the serving contract persists specs, serve.py writer): 1.395 ms
+  (-4%) — the specs output forces one full re-read + transposed write,
+  which is the bandwidth floor of that contract.
+* BUT the FULL service measures SLOWER with it: 6.1-7.7 ms/shot vs
+  5.7-5.9 for the XLA front-end (two runs, same chip, numerics
+  identical to 1e-4).  The isolated stage wins do not compose: the
+  service already runs three dependent Pallas programs, and swapping
+  the XLA spectrogram (which the scheduler overlaps across region
+  boundaries — PERF_NOTES stage-sum 6.2 vs 5.6 measured) for a fourth
+  serialized Pallas call plus the specs re-read loses more than the
+  front-end saves.  The harness therefore keeps stft_mode="auto" on
+  the XLA front-end; "fused" is the right opt-in ONLY for x16-only
+  consumers that skip the specs output (measured -18% there).
+
+Kernel facts the design leans on (see PERF_NOTES.md):
+
+* The merged detrend ⊙ window ⊙ DFT basis is split at the hop boundary
+  into two (hop, 768) halves — frame t is ``hb[t] @ b0 + hb[t+1] @ b1``
+  over hop-aligned trace blocks, so the kernel DMAs each (FB+8, hop)
+  trace window ONCE and gets the overlapped frame via a sublane roll.
+* Real/imag parts ride one matmul as lane-packed halves (lanes 0..256
+  and 384..640 of the 768-lane basis); the PSD epilogue squares and
+  folds them in-register.
+* Per-block min/max partials come out as a second tiny output, so the
+  reference's pre-drop min-max normalization domain (ALL one-sided
+  freqs incl. Nyquist, quirk — see ops/stft.py) needs no second pass
+  over the 80 MB log-PSD array.
+
+Reference parity: the spectrogram semantics match scipy.signal.
+spectrogram as pinned by ops/stft.py (pipeline_data.py:21-27); this
+module only changes the layout the bits are produced in.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from specenh.config import SpecParams
+from specenh.ops.ae_kernel import CS, CT, LANES
+from specenh.ops.parity_turn import _colsel, pick_interleave
+
+__all__ = ["supported", "stft_tf_log", "specs_tf_to_x16_2d",
+           "normalized_specs"]
+
+FB = 256  # frames per STFT grid block (f32 sublane multiple)
+
+
+def supported(sp: SpecParams) -> bool:
+    """The kernel's packing is built for the reference STFT geometry:
+    256 spectrogram rows (nperseg 512 -> 257 one-sided freqs <= the
+    384-lane pack) and half-overlap (hop == nperseg/2, so each frame
+    spans exactly two hop-aligned blocks)."""
+    return sp.nperseg == 512 and sp.hop == 256
+
+
+# ---------------------------------------------------------------------------
+# (T,F) STFT kernel: hop-block DMA + roll, merged padded basis, log-PSD out
+# ---------------------------------------------------------------------------
+
+
+def _basis_padded(sp: SpecParams, dtype):
+    """[Br | Bi] each padded to 384 lanes, split into the two hop halves.
+    Returns (b0, b1, wpad): b0/b1 (hop, 768), wpad (768,) carrying the
+    one-sided PSD weights in lanes 0..256 and 384..640 (zeros elsewhere)."""
+    from specenh.ops.stft import _basis_np
+
+    br, bi, scale = _basis_np(sp.nperseg, sp.detrend, sp.fs, sp.scaling,
+                              sp.window)
+    nf = br.shape[1]  # 257
+    assert nf <= 384
+    w = np.full(nf, 2.0 * scale)
+    w[0] = scale
+    if sp.nperseg % 2 == 0:
+        w[-1] = scale
+    pack = np.zeros((sp.nperseg, 768), np.float64)
+    pack[:, :nf] = br
+    pack[:, 384:384 + nf] = bi
+    wpad = np.zeros((768,), np.float64)
+    wpad[:nf] = w
+    wpad[384:384 + nf] = w
+    hop = sp.hop
+    return (jnp.asarray(pack[:hop], dtype), jnp.asarray(pack[hop:], dtype),
+            jnp.asarray(wpad, jnp.float32))
+
+
+def _stft_tf_kernel(hb_ref, b0_ref, b1_ref, w_ref, out_ref, mm_ref,
+                    scratch, sem, *, eps, nblk, rows_pc, bf16, n_frames):
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = i // nblk
+    b = i % nblk
+    base = c * rows_pc + b * FB
+    cp = pltpu.make_async_copy(hb_ref.at[pl.ds(base, FB + 8)], scratch, sem)
+    cp.start()
+    cp.wait()
+    blk = scratch[...]
+    p0 = blk[:FB]                                  # hop block t
+    p1 = pltpu.roll(blk, FB + 7, axis=0)[:FB]      # hop block t+1
+    if bf16:
+        p0 = p0.astype(jnp.bfloat16)
+        p1 = p1.astype(jnp.bfloat16)
+        b0 = b0_ref[...].astype(jnp.bfloat16)
+        b1 = b1_ref[...].astype(jnp.bfloat16)
+        prec = None
+    else:
+        b0 = b0_ref[...]
+        b1 = b1_ref[...]
+        prec = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+    z = jax.lax.dot_general(p0, b0, dn, precision=prec,
+                            preferred_element_type=jnp.float32)
+    z = z + jax.lax.dot_general(p1, b1, dn, precision=prec,
+                                preferred_element_type=jnp.float32)
+    psd = z[:, :384] * z[:, :384] + z[:, 384:] * z[:, 384:]
+    out = jnp.log(psd * w_ref[...][:384] + eps)
+    out_ref[0] = out
+    # min/max partials over the valid (row < n_frames - b*FB, lane <= 256)
+    # region — the reference normalizes over the FULL one-sided spectrum
+    # incl. Nyquist (the pre-drop quirk, ops/stft.py / pipeline_data.py:27)
+    rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    valid = (rows < (n_frames - b * FB)) & (lanes <= 256)
+    big = jnp.float32(np.inf)
+    mn = jnp.min(jnp.where(valid, out, big))
+    mx = jnp.max(jnp.where(valid, out, -big))
+    mm_ref[0] = jnp.stack([
+        jnp.full((128,), mn, jnp.float32),
+        jnp.full((128,), mx, jnp.float32),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
+def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
+                interpret: bool = False):
+    """(C, >=n_samples) traces -> ((C, Tpad, 384) f32 log-PSD in (T, F)
+    layout, (C, 1) min, (C, 1) max, n_frames).  Lanes 0..256 are the
+    one-sided freqs (incl. Nyquist); 257..383 hold log(eps) (weight 0).
+    min/max are over the valid (frame, freq <= Nyquist) region — the
+    reference's pre-drop normalization domain.  Tpad = ceil(nf/FB)*FB;
+    rows >= n_frames are padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supported(sp):
+        raise NotImplementedError(f"fused STFT needs nperseg=512/hop=256: {sp}")
+    hop = sp.hop
+    n_frames = (sp.n_samples - sp.nperseg) // hop + 1
+    n_half = n_frames + 1
+    nblk = -(-n_frames // FB)
+    rows_pc = nblk * FB + 8
+    c = traces.shape[0]
+    hb = traces[:, :n_half * hop].reshape(c, n_half, hop)
+    hb = jnp.pad(hb, ((0, 0), (0, rows_pc - n_half), (0, 0)))
+    hb = hb.reshape(c * rows_pc, hop)
+    b0, b1, wpad = _basis_padded(sp, jnp.float32)
+    out, mm = pl.pallas_call(
+        functools.partial(_stft_tf_kernel, eps=float(sp.eps), nblk=nblk,
+                          rows_pc=rows_pc, bf16=bf16, n_frames=n_frames),
+        grid=(c * nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
+            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
+            pl.BlockSpec((768,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, FB, 384), lambda i: (i // nblk, i % nblk, 0)),
+            pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, nblk * FB, 384), jnp.float32),
+            jax.ShapeDtypeStruct((c * nblk, 2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((FB + 8, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(hb, b0, b1, wpad)
+    mm = mm.reshape(c, nblk, 2, 128)
+    mn = jnp.min(mm[:, :, 0, :], axis=(1, 2)).reshape(c, 1)
+    mx = jnp.max(mm[:, :, 1, :], axis=(1, 2)).reshape(c, 1)
+    return out, mn, mx, n_frames
+
+
+# ---------------------------------------------------------------------------
+# mirrored corner-turn: (T,F) log-PSD + per-channel min/max -> normalized x16
+# ---------------------------------------------------------------------------
+
+
+def _make_turn_tf_kernel(i_: int, gpc: int):
+    def kernel(mn_ref, mx_ref, s_ref, o_ref):
+        natT = s_ref[0]  # (I*128, 256) f32: T rows, F lanes
+        ci = pl.program_id(0) // gpc
+        mn = mn_ref[ci, 0]
+        z = (natT - mn) / (mx_ref[ci, 0] - mn)
+        zb = z.astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))  # contract dim0.dim0: natT absorbed
+        sel = [
+            jax.lax.dot_general(zb, _colsel(xi, i_), dn,
+                                preferred_element_type=jnp.float32)
+            .astype(jnp.bfloat16)
+            for xi in range(4)
+        ]  # (256, I*32) each; rows stay natural 4s+phi (s-major)
+        pieces = [
+            jnp.concatenate(
+                [sel[xi][4 * s:4 * (s + 1), :] for xi in range(4)], axis=0
+            )  # (16, I*32), rows xi*4 + phi
+            for s in range(CS)
+        ]
+        o_ref[...] = jnp.concatenate(pieces, axis=1)  # (16, I*2048)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k_tiles", "interleave",
+                                             "interpret"))
+def specs_tf_to_x16_2d(sxx_tf, mn, mx, k_tiles: int, interleave: int = 0,
+                       interpret: bool = False):
+    """(C, Tpad >= k*128, >=256) (T,F) log-PSD + per-channel (C,1) min/max
+    -> (16, C*k*2048) normalized bf16 parity rows — bf16-ulp identical to
+    ``parity_turn.specs_to_x16_2d`` of the normalized (F,T) spectrogram,
+    with the transpose absorbed into the gather's lhsT contraction."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = sxx_tf.shape[0]
+    i_ = interleave or pick_interleave(k_tiles)
+    if k_tiles % i_:
+        raise ValueError(f"interleave {i_} must divide k_tiles {k_tiles}")
+    gpc = k_tiles // i_
+    return pl.pallas_call(
+        _make_turn_tf_kernel(i_, gpc),
+        grid=(c * gpc,),
+        in_specs=[
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, i_ * 4 * CT, 256),
+                         lambda i, gpc=gpc: (i // gpc, i % gpc, 0)),
+        ],
+        out_specs=pl.BlockSpec((16, i_ * LANES), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, c * k_tiles * LANES),
+                                       jnp.bfloat16),
+        interpret=interpret,
+    )(mn, mx, sxx_tf)
+
+
+def normalized_specs(sxx_tf, mn, mx, n_frames: int):
+    """(C, Tpad, 384) (T,F) log-PSD + (C,1) min/max -> the service's
+    (C, 256, n_frames) normalized float32 spectrogram (Nyquist row
+    dropped after min-max, ops/stft.py semantics).  One full re-read +
+    transposed write — the bandwidth floor of the specs output contract."""
+    v = sxx_tf[:, :n_frames, :256]
+    z = (v - mn[:, :, None]) / (mx[:, :, None] - mn[:, :, None])
+    return jnp.swapaxes(z, -1, -2)
