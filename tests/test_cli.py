@@ -15,6 +15,21 @@ def workspace(tmp_path_factory, capfd_unsafe=None):
     return tmp_path_factory.mktemp("cli")
 
 
+def _ensure_dataset(workspace, capfd):
+    """Build the shared raw dir + dataset if a -k selection skipped the
+    journey test that normally creates them (idempotent in full runs)."""
+    raw = str(workspace / "raw")
+    ds = str(workspace / "data.hdf5")
+    if not (os.path.isdir(raw) and os.listdir(raw)):
+        main(["synth-shots", "--out", raw, "--shots", "2", "--channels", "2",
+              "--samples", "50000", "--seed", "1"])
+    if not os.path.exists(ds):
+        main(["build-data", "--data-dir", raw, "--out", ds, "--channels", "2",
+              "--cut-shot", "0.1", "--quiet"])
+    capfd.readouterr()
+    return ds
+
+
 def test_full_cli_journey(workspace, capfd):
     raw = str(workspace / "raw")
     ds = str(workspace / "data.hdf5")
@@ -44,6 +59,7 @@ def test_full_cli_journey(workspace, capfd):
 
 
 def test_resume_skips_done(workspace, capfd):
+    _ensure_dataset(workspace, capfd)
     raw = str(workspace / "raw")
     ds = str(workspace / "data.hdf5")
     main(["build-data", "--data-dir", raw, "--out", ds, "--channels", "2",
@@ -56,6 +72,7 @@ def test_train_trace_dir_writes_profile(workspace, capfd):
     """--trace-dir: the xprof device trace actually lands on disk (the
     round-2 'profile_trace has zero callers' gap)."""
     import glob
+    _ensure_dataset(workspace, capfd)
 
     ds = str(workspace / "data.hdf5")
     train_dir = str(workspace / "train_traced")
@@ -71,6 +88,7 @@ def test_train_trace_dir_writes_profile(workspace, capfd):
 def test_train_streamed_cli(workspace, capfd):
     """--stream always: the host-streamed epoch produces the same artifact
     set as the resident path (the 200-shot-recipe mechanism, scaled down)."""
+    _ensure_dataset(workspace, capfd)
     ds = str(workspace / "data.hdf5")
     train_dir = str(workspace / "train_stream")
     main(["train", "--dataset", ds, "--out-dir", train_dir, "--model", "scan_k3",
@@ -86,6 +104,7 @@ def test_train_streamed_cli(workspace, capfd):
 def test_sweep_cli_kernel_grid(workspace, capfd):
     """The reference kernel array sweep from the CLI: artifacts +
     production-path pred_times per config."""
+    _ensure_dataset(workspace, capfd)
     ds = str(workspace / "data.hdf5")
     out = str(workspace / "sweep")
     main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
@@ -102,6 +121,7 @@ def test_sweep_cli_kernel_grid(workspace, capfd):
 def test_sweep_cli_3layer_grid_axes(workspace, capfd):
     """--grid 3layer uses the manual_scan_3layers.py axes, and the CLI
     axis flags override them (tiny custom grid end-to-end)."""
+    _ensure_dataset(workspace, capfd)
     ds = str(workspace / "data.hdf5")
     out = str(workspace / "sweep3")
     main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "3layer",
@@ -119,6 +139,7 @@ def test_sweep_cli_3layer_grid_axes(workspace, capfd):
 
 
 def test_train_raw_device_resident(workspace, capfd):
+    _ensure_dataset(workspace, capfd)
     raw = str(workspace / "raw")
     out = str(workspace / "train_raw")
     main(["train-raw", "--data-dir", raw, "--out-dir", out, "--channels", "2",
