@@ -41,6 +41,14 @@ def make_production_predict_fn(
     serving path, so ours must time the kernel where the kernel serves."""
     build_wts, kernel_apply, _ = _kernel_family(model_cfg)
 
+    if use_kernel is True and build_wts is None:
+        # same contract as make_enhance_shot_fn: forcing the kernel on an
+        # uncovered geometry is an error, not a silent Flax fallback (a
+        # benchmark labelled 'kernel' must measure the kernel)
+        raise NotImplementedError(
+            f"no fused kernel covers this geometry: filters="
+            f"{model_cfg.filters} kernels={model_cfg.kernels}"
+        )
     kernel_on = use_kernel is True or (
         use_kernel == "auto"
         and dtype == jnp.bfloat16

@@ -139,6 +139,22 @@ def cmd_train(args):
     use_stream = args.stream == "always" or (
         args.stream == "auto" and estimate_resident_bytes(n_total) > budget
     )
+    devices = getattr(args, "devices", 0) or 0
+    if use_stream and devices > 1:
+        if (args.stream == "auto"
+                and estimate_resident_bytes(n_total) / devices <= budget):
+            # sharded over the mesh the dataset IS resident (each chip
+            # holds 1/n of the tiles) — prefer the multi-chip path the
+            # user asked for over single-chip streaming
+            use_stream = False
+            if not args.quiet:
+                print(f"dataset fits sharded over {devices} devices; "
+                      "using dp_fit instead of streaming")
+        else:
+            print(f"WARNING: streaming engaged and fit_streaming is "
+                  f"single-chip — --devices {devices} is ignored "
+                  "(raise SPECENH_HBM_BUDGET_GB to force the sharded "
+                  "resident path)")
 
     engine = getattr(args, "engine", None) or (
         "bf16" if getattr(args, "bf16", False) else "f32"
@@ -194,12 +210,15 @@ def cmd_train(args):
             state, hist = fit_streaming(state, store, plan, train_cfg,
                                         epoch_fn=epoch_fn, **fit_common)
         # bounded test sample for the display artifacts (the full test
-        # split may not fit in host/device memory on streamed campaigns)
+        # split may not fit in host/device memory on streamed campaigns);
+        # an empty test split (tiny datasets: int(n*0.85) == n) just skips
+        # the display block below
         from specenh.train_stream import _iter_chunks
 
-        x_test_s, _y = next(_iter_chunks(store, plan.test, PatchSpec(), 512))
-        x_test = x_test_s
-    elif getattr(args, "devices", 0) and args.devices > 1:
+        chunk = next(_iter_chunks(store, plan.test, PatchSpec(), 512), None) \
+            if plan.n_tiles("test") else None
+        x_test = chunk[0] if chunk is not None else None
+    elif devices > 1:
         from specenh.parallel.data_parallel import dp_fit
         from specenh.parallel.mesh import make_mesh
 
@@ -212,7 +231,7 @@ def cmd_train(args):
                 state, splits.x_train, splits.y_train, mesh,
                 splits.x_tune, splits.y_tune,
                 epochs=args.epochs, batch_size=train_cfg.batch_size,
-                seed=args.seed, verbose=not args.quiet,
+                seed=args.seed, **fit_common,
             )
         x_test = splits.x_test
     else:
@@ -235,13 +254,17 @@ def cmd_train(args):
         store.close()
         return
 
-    # predictions + display artifact (hyperparam_scan.py:194-205)
-    preds = np.squeeze(np.asarray(predict(state, jnp.asarray(x_test))), -1)
-    noisy = np.asarray(unpatch(jnp.asarray(np.squeeze(x_test, -1)), tiles_per_spec=k_tiles))
-    final = np.asarray(unpatch(jnp.asarray(preds), tiles_per_spec=k_tiles))
+    # predictions + display artifact (hyperparam_scan.py:194-205); skipped
+    # when the test split is too small to restitch one full spectrogram
     sample_shot = store.shots()[0]
-    d = store.read_channel(sample_shot, 1)
-    display(noisy, final, os.path.join(args.out_dir, "ex_specs.png"), d["f"], d["t"], seed=0)
+    if x_test is not None and x_test.shape[0] >= k_tiles:
+        preds = np.squeeze(np.asarray(predict(state, jnp.asarray(x_test))), -1)
+        noisy = np.asarray(unpatch(jnp.asarray(np.squeeze(x_test, -1)), tiles_per_spec=k_tiles))
+        final = np.asarray(unpatch(jnp.asarray(preds), tiles_per_spec=k_tiles))
+        d = store.read_channel(sample_shot, 1)
+        display(noisy, final, os.path.join(args.out_dir, "ex_specs.png"), d["f"], d["t"], seed=0)
+    elif not args.quiet:
+        print("test split too small for ex_specs.png; skipped")
     plot_val_loss(
         hist["val_loss"],
         os.path.join(args.out_dir, "val_loss.png"),
@@ -336,7 +359,24 @@ def cmd_sweep(args):
 
     # grid-axis overrides: the reference user edits the scan scripts'
     # constants (hyperparam_scan.py:123, manual_scan.py:120-124,
-    # manual_scan_3layers.py:119-123); here they are flags
+    # manual_scan_3layers.py:119-123); here they are flags.  Flags that
+    # the selected grid does not read are an error, not a silent no-op —
+    # otherwise an expensive sweep quietly trains the wrong configs.
+    applicable = {
+        "kernel": {"kernel_vals"},
+        "2layer": {"ker1", "ker2", "ker3", "conv1", "conv2"},
+        "3layer": {"ker", "conv1", "conv2", "conv3"},
+    }[args.grid]
+    all_axes = {"kernel_vals", "ker", "ker1", "ker2", "ker3",
+                "conv1", "conv2", "conv3"}
+    stray = sorted(ax for ax in all_axes - applicable if getattr(args, ax, None))
+    if stray:
+        flags = ", ".join("--" + s.replace("_", "-") for s in stray)
+        raise SystemExit(
+            f"{flags}: not an axis of --grid {args.grid} (its axes: "
+            + ", ".join("--" + s.replace("_", "-") for s in sorted(applicable))
+            + ")"
+        )
     over = {}
     if args.kernel_vals:
         over["kernel_vals"] = _kers(args.kernel_vals)
@@ -346,7 +386,7 @@ def cmd_sweep(args):
         for ax in ("conv1", "conv2", "conv3"):
             if getattr(args, ax):
                 over[f"{ax}_vals_3layer"] = _ints(getattr(args, ax))
-    else:
+    elif args.grid == "2layer":
         for ax in ("ker1", "ker2", "ker3"):
             if getattr(args, ax):
                 over[f"{ax}_vals"] = _kers(getattr(args, ax))

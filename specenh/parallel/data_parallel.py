@@ -10,6 +10,9 @@ control actually matters).
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -74,7 +77,18 @@ def make_dp_eval_step(mesh: Mesh, axis: str = "data"):
 def _put_sharded(a, sharding, n_dev: int):
     """Place ``a`` with its leading dim sharded, zero-padding it to a
     multiple of the shard count (padded rows are never indexed: batch
-    index arrays only cover the real row range)."""
+    index arrays only cover the real row range).
+
+    Already-device-resident inputs (the e2e paths hand us jax.Arrays) pad
+    and reshard ON DEVICE — round-tripping through numpy would cost a
+    device->host pull plus a ~2 MB/s tunnel re-upload per tensor."""
+    if isinstance(a, jax.Array):
+        pad = (-a.shape[0]) % n_dev
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
+            )
+        return jax.device_put(a, sharding)
     a = np.asarray(a, np.float32)
     pad = (-len(a)) % n_dev
     if pad:
@@ -94,6 +108,9 @@ def dp_fit(
     seed: int = 0,
     shuffle: bool = True,
     dataset_sharding: str = "data",
+    metrics_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     verbose: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Multi-device Keras-fit equivalent.  ``batch_size`` is GLOBAL; it is
@@ -135,8 +152,52 @@ def dp_fit(
         x_val = _put_sharded(x_val, ds_sh, n_dev)
         y_val = _put_sharded(y_val, ds_sh, n_dev)
     rng = np.random.default_rng(seed)
-    state = jax.device_put(state, repl)
     history = {"loss": [], "val_loss": []}
+
+    # checkpoint/metrics/resume: same contract as train.fit — per-epoch
+    # orbax (params + optimizer state), replayed shuffle stream, run-meta
+    # guard, history sidecar.  Restore happens BEFORE the state is placed
+    # on the mesh so orbax sees the plain host template.
+    from specenh.train import (
+        check_run_meta,
+        latest_checkpoint_epoch,
+        restore_checkpoint,
+        write_run_meta,
+    )
+
+    writer = open(metrics_path, "a") if metrics_path else None
+    ckptr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+    run_meta = {
+        "n": int(n), "seed": int(seed), "batch_size": int(bs),
+        "shuffle": bool(shuffle), "devices": int(n_dev),
+    }
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        last = latest_checkpoint_epoch(checkpoint_dir)
+        if last is not None:
+            check_run_meta(checkpoint_dir, run_meta, optional_keys=("devices",))
+            state = restore_checkpoint(state, checkpoint_dir, last)
+            start_epoch = last + 1
+            for _ in range(start_epoch):  # replay shuffle stream
+                if shuffle:
+                    rng.permutation(n)
+            hpath = os.path.join(checkpoint_dir, "history.json")
+            if os.path.exists(hpath):
+                with open(hpath) as fh:
+                    saved_hist = json.load(fh)
+                history["loss"] = list(saved_hist.get("loss", []))[:start_epoch]
+                history["val_loss"] = list(saved_hist.get("val_loss", []))[:start_epoch]
+            if verbose:
+                print(f"resumed from epoch {last}")
+    if ckptr:
+        write_run_meta(checkpoint_dir, run_meta)
+
+    state = jax.device_put(state, repl)
 
     def batch_loss(params, apply_fn, xb, yb, wb):
         xb = jax.lax.with_sharding_constraint(xb, data)
@@ -168,7 +229,8 @@ def dp_fit(
     # n_val (not len(x_val)): the device copy may carry shard-padding rows
     val_batches = _epoch_batches(n_val, bs, np.arange(n_val)) if have_val else None
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
+        t0 = time.perf_counter()
         perm = rng.permutation(n) if shuffle else np.arange(n)
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)
         state, losses = train_epoch(
@@ -181,7 +243,29 @@ def dp_fit(
                 state, x_val, y_val, jnp.asarray(vi), jnp.asarray(vm)
             )
             history["val_loss"].append(float(weighted_epoch_mean(v_losses, vm)))
+        dt = time.perf_counter() - t0
         if verbose:
             print(f"epoch {epoch+1}/{epochs} loss={history['loss'][-1]:.5f}"
                   + (f" val={history['val_loss'][-1]:.5f}" if history["val_loss"] else ""))
+        if writer:
+            writer.write(json.dumps({
+                "epoch": epoch,
+                "loss": history["loss"][-1],
+                "val_loss": history["val_loss"][-1] if history["val_loss"] else None,
+                "sec": dt,
+                "devices": int(n_dev),
+            }) + "\n")
+            writer.flush()
+        if ckptr:
+            ckptr.save(
+                os.path.join(checkpoint_dir, f"epoch_{epoch:04d}"),
+                {"params": state.params, "opt_state": state.opt_state},
+                force=True,
+            )
+            with open(os.path.join(checkpoint_dir, "history.json"), "w") as fh:
+                json.dump(history, fh)
+    if writer:
+        writer.close()
+    if ckptr:
+        ckptr.wait_until_finished()
     return state, history

@@ -117,9 +117,12 @@ def serve_once(
 
     q_in: "queue.Queue" = queue.Queue(maxsize=2)
     q_out: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()
 
     def reader():
         for shot, path in todo:
+            if stop.is_set():
+                break
             t0 = time.perf_counter()
             try:
                 traces = read_shot(
@@ -174,19 +177,33 @@ def serve_once(
     rt.start()
     wt.start()
     t_start = time.perf_counter()
-    while True:
-        item = q_in.get()
-        if item is None:
-            break
-        kind, shot, t0, read_s, payload = item
-        if kind == "err":
-            q_out.put((kind, shot, t0, read_s, payload))
-            continue
-        result = service.fn(service.params, payload)  # async dispatch
-        q_out.put(("ok", shot, t0, read_s, result))
-    q_out.put(None)
-    rt.join()
-    wt.join()
+    try:
+        while True:
+            item = q_in.get()
+            if item is None:
+                break
+            kind, shot, t0, read_s, payload = item
+            if kind == "err":
+                q_out.put((kind, shot, t0, read_s, payload))
+                continue
+            result = service.fn(service.params, payload)  # async dispatch
+            q_out.put(("ok", shot, t0, read_s, result))
+    finally:
+        # Shutdown MUST complete before serve_once returns or raises:
+        # the caller's `with SpectrogramStore(...)` closes the h5py file
+        # the writer thread is using, so an exception (dispatch error,
+        # KeyboardInterrupt) escaping with threads still live would have
+        # the writer persisting into a closed store.  Finish the writer's
+        # in-flight work, then unwedge and retire the reader.
+        q_out.put(None)
+        wt.join()
+        stop.set()
+        while rt.is_alive():  # drain q_in so a blocked reader put returns
+            try:
+                q_in.get_nowait()
+            except queue.Empty:
+                time.sleep(0.005)
+        rt.join()
     elapsed = time.perf_counter() - t_start
     if metrics:
         metrics.log(

@@ -139,3 +139,14 @@ def test_block_tiles_two(setup):
     one = np.asarray(ae_kernel_apply(wts, tiles, block_tiles=1, interpret=True))
     two = np.asarray(ae_kernel_apply(wts, tiles, block_tiles=2, interpret=True))
     np.testing.assert_allclose(one, two, atol=1e-6)
+
+
+def test_production_predict_forced_kernel_unsupported_raises():
+    """use_kernel=True on an uncovered geometry must raise, matching
+    make_enhance_shot_fn's contract — never a silent Flax fallback that a
+    'kernel' benchmark would mislabel (round-3 review)."""
+    from specenh.bench.harness import make_production_predict_fn
+
+    odd = ModelConfig(filters=(16, 32), kernels=((4, 4), (4, 4)))
+    with pytest.raises(NotImplementedError, match="no fused kernel"):
+        make_production_predict_fn(odd, use_kernel=True)

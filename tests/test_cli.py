@@ -147,3 +147,31 @@ def test_train_raw_device_resident(workspace, capfd):
     rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(rec["val_loss"]) and rec["channels"] == 4
     assert os.path.exists(os.path.join(out, "model"))
+
+def test_sweep_stray_axis_flag_errors(workspace, capfd):
+    """An axis flag the selected grid never reads must error up front, not
+    silently run the default grid (round-3 review)."""
+    _ensure_dataset(workspace, capfd)
+    ds = str(workspace / "data.hdf5")
+    with pytest.raises(SystemExit, match="--conv1.*--grid kernel"):
+        main(["sweep", "--dataset", ds, "--out-dir", str(workspace / "x"),
+              "--grid", "kernel", "--conv1", "16,32", "--epochs", "1",
+              "--num-shots", "2", "--quiet"])
+    with pytest.raises(SystemExit, match="--kernel-vals"):
+        main(["sweep", "--dataset", ds, "--out-dir", str(workspace / "x"),
+              "--grid", "2layer", "--kernel-vals", "3,5", "--epochs", "1",
+              "--num-shots", "2", "--quiet"])
+
+
+def test_train_stream_devices_warns_and_runs(workspace, capfd):
+    """--stream always + --devices N: streaming is single-chip, so the CLI
+    must say --devices is ignored rather than silently dropping it."""
+    _ensure_dataset(workspace, capfd)
+    ds = str(workspace / "data.hdf5")
+    train_dir = str(workspace / "train_stream_dev")
+    main(["train", "--dataset", ds, "--out-dir", train_dir, "--model",
+          "scan_k3", "--epochs", "1", "--num-shots", "2", "--stream",
+          "always", "--devices", "2", "--quiet"])
+    out = capfd.readouterr().out
+    assert "--devices 2 is ignored" in out
+    assert np.isfinite(json.loads(out.strip().splitlines()[-1])["val_loss"])

@@ -149,3 +149,34 @@ def test_service_spectrogram_is_golden(tmp_path):
     specs, _ = service.enhance(traces)
     golden, _, _ = spectrogram_ref(traces[0], cfg.spec)
     assert ssim(specs[0], golden) > 0.999
+
+def test_serve_dispatch_exception_retires_threads(tmp_path):
+    """A dispatch-path exception must not escape serve_once while the
+    reader/writer threads are live: the caller's with-block closes the
+    h5py store the writer persists into (round-3 review).  In-flight
+    results dispatched BEFORE the failure must still be persisted."""
+    import threading
+
+    import pytest
+
+    cfg, watch = _setup(tmp_path, n_shots=4)
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    real_fn, calls = service.fn, []
+
+    def boom(params, traces):
+        calls.append(1)
+        if len(calls) >= 2:
+            raise RuntimeError("dispatch boom")
+        return real_fn(params, traces)
+
+    service.fn = boom
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with SpectrogramStore(out) as store:
+        with pytest.raises(RuntimeError, match="dispatch boom"):
+            serve_once(service, watch, store, manifest, verbose=False)
+    assert not [t for t in threading.enumerate() if t.name.startswith("serve-")]
+    manifest.close()
+    with SpectrogramStore(out, "r") as store:
+        assert store.shots() == ["enhanced_100"]  # in-flight shot landed
