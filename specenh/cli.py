@@ -248,8 +248,9 @@ def cmd_train(args):
             )
         x_test = splits.x_test
     save_model(state, os.path.join(args.out_dir, "model"), model_cfg)
-    if not hist["val_loss"]:
-        # resumed a fully-finished run: nothing new to report
+    if not hist["val_loss"] or hist.get("new_epochs", 1) == 0:
+        # resumed a fully-finished run: nothing new to report (the restored
+        # loss history is non-empty, so check the new-epoch count)
         print(json.dumps({"resumed": "already complete"}))
         store.close()
         return

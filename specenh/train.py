@@ -376,6 +376,10 @@ def fit(
         writer.close()
     if ckptr:
         ckptr.wait_until_finished()
+    # epochs actually trained this call (0 when resume found a finished
+    # run); lets callers distinguish "resumed complete" from "trained",
+    # which the restored loss history alone no longer can
+    history["new_epochs"] = max(0, epochs - start_epoch)
     return state, history
 
 

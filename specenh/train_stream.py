@@ -306,4 +306,6 @@ def fit_streaming(
         writer.close()
     if ckptr:
         ckptr.wait_until_finished()
+    # see train.fit: 0 when resume found a finished run
+    history["new_epochs"] = max(0, epochs - start_epoch)
     return state, history

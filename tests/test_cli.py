@@ -175,3 +175,25 @@ def test_train_stream_devices_warns_and_runs(workspace, capfd):
     out = capfd.readouterr().out
     assert "--devices 2 is ignored" in out
     assert np.isfinite(json.loads(out.strip().splitlines()[-1])["val_loss"])
+
+def test_train_devices_cli(workspace, capfd):
+    """train --devices 2: the dp_fit branch end-to-end — artifacts,
+    metrics.jsonl (now passed through, round-3 review), checkpoints, and a
+    resume that reports already-complete."""
+    _ensure_dataset(workspace, capfd)
+    ds = str(workspace / "data.hdf5")
+    train_dir = str(workspace / "train_dp")
+    argv = ["train", "--dataset", ds, "--out-dir", train_dir, "--model",
+            "scan_k3", "--epochs", "1", "--num-shots", "2", "--devices", "2",
+            "--checkpoints", "--quiet"]
+    main(argv)
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["val_loss"]) and out["t_pred"] > 0
+    for artifact in ["model", "metrics.jsonl", "checkpoints", "val_loss.png"]:
+        assert os.path.exists(os.path.join(train_dir, artifact)), artifact
+    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
+        assert json.loads(fh.readline())["devices"] == 2
+    # resume of a finished run: no retraining, explicit report
+    main(argv + ["--resume"])
+    out2 = capfd.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out2) == {"resumed": "already complete"}
