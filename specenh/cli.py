@@ -273,8 +273,14 @@ def cmd_train(args):
     )
 
     # timed per-channel inference on a reference shot (hyperparam_scan.py:214-244)
+    # — timed on the PRODUCTION path (fused Pallas kernel where the geometry
+    # is covered, Flax otherwise), like the reference times its own serving
+    # path; sweep's pred_times already does the same.
     import jax
 
+    from specenh.bench.harness import make_production_predict_fn
+
+    prod_predict = make_production_predict_fn(model_cfg)
     shot_key = f"ece_{args.bench_shot}" if f"ece_{args.bench_shot}" in store.shots() else sample_shot
     t_predict = 0.0
     chns = store.channels_of(shot_key)
@@ -282,9 +288,10 @@ def cmd_train(args):
         d = store.read_channel(shot_key, i)
         tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
         start = time.time()
-        p = predict(state, jnp.asarray(tiles))
+        p = prod_predict(state.params, jnp.asarray(tiles))
         np.asarray(p.ravel()[:1])  # sync (tunnelled TPU: block_until_ready lies)
         t_predict += time.time() - start
+        p = jnp.asarray(p, jnp.float32)  # bf16-path outputs -> plottable
         if i in (10, 11, 12):
             plt_spec_shot(
                 np.asarray(unpatch(jnp.asarray(tiles[..., 0]), tiles_per_spec=k_tiles))[0],
