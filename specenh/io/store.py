@@ -22,22 +22,61 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["SpectrogramStore", "CampaignManifest"]
+__all__ = ["SpectrogramStore", "CampaignManifest", "retire_stale_manifest"]
+
+
+def _free_corrupt_name(path: str) -> str:
+    cand, i = path + ".corrupt", 1
+    while os.path.exists(cand):
+        cand = f"{path}.corrupt{i}"
+        i += 1
+    return cand
+
+
+def retire_stale_manifest(store, manifest_path: str) -> None:
+    """If ``store`` just quarantined a corrupt file, the manifest's "done"
+    records describe data that no longer exists — move it next to the
+    quarantined store so the campaign rebuilds from scratch instead of
+    silently skipping everything."""
+    if getattr(store, "quarantined", None) and os.path.exists(manifest_path):
+        os.replace(manifest_path, store.quarantined + ".manifest.jsonl")
 
 
 class SpectrogramStore:
-    """Thin h5py wrapper with the reference schema."""
+    """Thin h5py wrapper with the reference schema.
+
+    A campaign killed mid-write (SIGTERM, OOM, node preemption) can leave
+    a truncated HDF5 that h5py refuses to open at all — which would brick
+    every later resume.  In append mode the store QUARANTINES such a file
+    (renames it to ``<path>.corrupt``) and starts fresh, recording the
+    moved path in ``self.quarantined`` so campaign drivers can retire the
+    paired manifest too (its "done" records point at lost data).  Read
+    modes never destroy evidence: the OSError propagates.
+    """
 
     def __init__(self, path: str, mode: str = "a"):
         import h5py
 
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        self._f = h5py.File(path, mode)
         self.path = path
+        self.quarantined: Optional[str] = None
+        try:
+            self._f = h5py.File(path, mode)
+        except OSError:
+            if mode != "a" or not os.path.exists(path):
+                raise
+            self.quarantined = _free_corrupt_name(path)
+            os.replace(path, self.quarantined)
+            warnings.warn(
+                f"unreadable HDF5 store quarantined to {self.quarantined}; "
+                "starting a fresh store (a crashed campaign likely truncated it)"
+            )
+            self._f = h5py.File(path, mode)
 
     # -- writing ------------------------------------------------------------
 

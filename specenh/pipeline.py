@@ -21,7 +21,7 @@ import numpy as np
 
 from specenh.config import Config
 from specenh.io.shots import ShotReadError, read_ece_channels, shot_number_from_path
-from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.io.store import CampaignManifest, SpectrogramStore, retire_stale_manifest
 from specenh.ops.enhance import classical_pipeline
 from specenh.ops.stft import spectrogram, spectrogram_freqs, spectrogram_times
 
@@ -70,8 +70,9 @@ def build_dataset(
     t_axis = spectrogram_times(cfg.spec)
     done = skipped = failed = 0
 
-    manifest = CampaignManifest(manifest_path)
     with SpectrogramStore(store_path) as store:
+        retire_stale_manifest(store, manifest_path)
+        manifest = CampaignManifest(manifest_path)
         for fname in shot_files:
             shot = shot_number_from_path(fname)
             # failed shots are quarantined once (same resume semantics as
@@ -123,6 +124,8 @@ def build_dataset_streaming(
     t_axis = spectrogram_times(cfg.spec)
 
     bin_files = list(bin_files)
+    store = SpectrogramStore(store_path)
+    retire_stale_manifest(store, manifest_path)
     manifest = CampaignManifest(manifest_path)
     pending = [
         p for p in bin_files
@@ -146,7 +149,7 @@ def build_dataset_streaming(
         if verbose:
             print(f"shot {shot}: {specs.shape[0]} channels written")
 
-    with SpectrogramStore(store_path) as store:
+    with store:
         with NativePrefetcher(
             pending, n_channels, cfg.spec.n_samples, n_threads=n_threads
         ) as pf:

@@ -28,7 +28,7 @@ from specenh.config import Config, ModelConfig
 from specenh.bench.harness import make_enhance_shot_fn
 from specenh.io.native import read_shot
 from specenh.io.shots import shot_number_from_path
-from specenh.io.store import CampaignManifest, SpectrogramStore
+from specenh.io.store import CampaignManifest, SpectrogramStore, retire_stale_manifest
 from specenh.ops.stft import spectrogram_freqs, spectrogram_times
 from specenh.utils.logging import MetricsLogger
 
@@ -227,6 +227,8 @@ def serve_forever(
     forever).  ``once=True`` drains the current backlog and returns — use
     for scripted runs; without it a restart against a fully-processed
     directory keeps waiting for new shots (daemon semantics)."""
+    store = SpectrogramStore(out_store)
+    retire_stale_manifest(store, out_store + ".serve.jsonl")
     manifest = CampaignManifest(out_store + ".serve.jsonl")
     totals = {"done": 0, "failed": 0}
     if not once:
@@ -235,7 +237,7 @@ def serve_forever(
         # backlog is already empty)
         service.warmup()
     try:
-        with SpectrogramStore(out_store) as store, MetricsLogger(
+        with store, MetricsLogger(
             out_store + ".metrics.jsonl"
         ) as metrics:
             while True:

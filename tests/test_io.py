@@ -102,6 +102,36 @@ def test_store_idempotent_overwrite(tmp_path):
         np.testing.assert_array_equal(store.read_channel("ece_1", 1)["spec"], b)
 
 
+def test_store_quarantines_truncated_file(tmp_path):
+    """A campaign killed mid-write leaves a truncated HDF5 (seen in the
+    wild: eof=96); append mode must quarantine it and start fresh instead
+    of bricking every later resume, read mode must not destroy evidence."""
+    path = str(tmp_path / "t.hdf5")
+    a = np.zeros((4, 4))
+    with SpectrogramStore(path) as store:
+        store.write_channel("1", 1, a, a[0], a[0], a)
+    os.truncate(path, 96)
+
+    with pytest.raises(OSError):
+        SpectrogramStore(path, "r")
+    assert os.path.getsize(path) == 96  # read mode left it alone
+
+    with pytest.warns(UserWarning, match="quarantined"):
+        store = SpectrogramStore(path)
+    assert store.quarantined == path + ".corrupt"
+    assert os.path.getsize(store.quarantined) == 96
+    assert store.shots() == []  # fresh store
+    store.write_channel("1", 1, a, a[0], a[0], a)
+    store.close()
+
+    # a second crash must not overwrite the first quarantined file
+    os.truncate(path, 96)
+    with pytest.warns(UserWarning):
+        store2 = SpectrogramStore(path)
+    assert store2.quarantined == path + ".corrupt1"
+    store2.close()
+
+
 def test_manifest_resume(tmp_path):
     p = str(tmp_path / "m.jsonl")
     m = CampaignManifest(p)
@@ -142,6 +172,21 @@ def test_build_dataset_campaign(tmp_path):
     # -all (same semantics as the streaming driver and serve.py)
     summary2 = build_dataset(cfg, shots, channels=[1, 2], store_path=store_path, verbose=False)
     assert summary2 == {"done": 0, "skipped": 3, "failed": 0}
+
+    # crash recovery: a truncated store is quarantined AND the stale
+    # manifest retired with it (its "done" records point at lost data), so
+    # the campaign rebuilds instead of skipping everything; the bad shot is
+    # re-tried and re-quarantined under the fresh manifest
+    os.truncate(store_path, 96)
+    with pytest.warns(UserWarning, match="quarantined"):
+        summary3 = build_dataset(
+            cfg, shots, channels=[1, 2], store_path=store_path, verbose=False
+        )
+    assert summary3 == {"done": 2, "skipped": 0, "failed": 1}
+    assert os.path.exists(store_path + ".corrupt")
+    assert os.path.exists(store_path + ".corrupt.manifest.jsonl")
+    with SpectrogramStore(store_path, "r") as store:
+        assert sorted(store.shots()) == ["ece_111", "ece_222"]
 
 
 def test_assemble_and_split(tmp_path):
