@@ -42,6 +42,24 @@ def main():
     state, hist = dp_fit(state, x, y, mesh, epochs=2, batch_size=8 * n_dev)
     print("dp training loss:", hist["loss"])
 
+    # --- the same, on the fused Pallas training kernel: per-device kernels
+    # under shard_map, gradient psum over the data axis (the CLI
+    # `train --engine kernel --devices N` engine) ---
+    from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+    on_cpu = jax.default_backend() == "cpu"
+    kcfg = ModelConfig()  # the kernel wants the full 256x128 tile geometry
+    kx = rng.random((n_dev, 256, 128, 1)).astype(np.float32)
+    ky = (kx > 0.5).astype(np.float32)
+    kstate = create_state(kcfg, TrainConfig())
+    kernel_epoch = dp_kernel_epoch_for(
+        kcfg, TrainConfig(), mesh,
+        interpret=on_cpu, dtype=jnp.float32 if on_cpu else None,
+    )
+    kstate, khist = dp_fit(kstate, kx, ky, mesh, epochs=1,
+                           batch_size=n_dev, epoch_fn=kernel_epoch)
+    print("dp fused-kernel training loss:", khist["loss"])
+
     # --- sequence-parallel long shot (halo-exchange time sharding) ---
     tmesh = make_mesh(n_dev, ("time",))
     sp = SpecParams(cut_shot=4.0)  # a 4-second "long" shot

@@ -176,17 +176,15 @@ def cmd_train(args):
                 f"--engine kernel does not support the '{args.model}' "
                 "geometry; use f32/bf16"
             )
-        if getattr(args, "devices", 0) and args.devices > 1:
-            raise SystemExit(
-                "--engine kernel is single-chip (resident or streamed); "
-                "combine with --devices via f32/bf16 for now"
-            )
         # interpret mode keeps the CLI usable on CPU (tests); real chips
-        # run the compiled kernel
-        epoch_fn = kernel_epoch_for(
-            model_cfg, train_cfg,
-            interpret=jax.default_backend() == "cpu",
-        )
+        # run the compiled kernel.  devices > 1 routes through the
+        # shard_map'd data-parallel kernel engine instead (built in the
+        # dp branch below — it needs the mesh).
+        if not (devices > 1 and not use_stream):
+            epoch_fn = kernel_epoch_for(
+                model_cfg, train_cfg,
+                interpret=jax.default_backend() == "cpu",
+            )
     fit_common = dict(
         metrics_path=os.path.join(args.out_dir, "metrics.jsonl"),
         checkpoint_dir=os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None,
@@ -226,12 +224,26 @@ def cmd_train(args):
             store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
         ).reshaped()
         mesh = make_mesh(args.devices, ("data",))
+        if engine == "kernel":
+            import jax
+
+            from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+            # CPU shim: interpret mode, f32 dots (XLA:CPU's runtime
+            # rejects bf16 DotThunks at tiny per-device batch shapes);
+            # real chips run the compiled bf16 kernel
+            on_cpu = jax.default_backend() == "cpu"
+            epoch_fn = dp_kernel_epoch_for(
+                model_cfg, train_cfg, mesh,
+                interpret=on_cpu,
+                dtype=jnp.float32 if on_cpu else None,
+            )
         with trace_cm:
             state, hist = dp_fit(
                 state, splits.x_train, splits.y_train, mesh,
                 splits.x_tune, splits.y_tune,
                 epochs=args.epochs, batch_size=train_cfg.batch_size,
-                seed=args.seed, **fit_common,
+                seed=args.seed, epoch_fn=epoch_fn, **fit_common,
             )
         x_test = splits.x_test
     else:
@@ -742,7 +754,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None,
                    help="training engine: f32 (reference-parity default), "
                         "bf16 (1.6x), kernel (fused Pallas fwd+bwd — "
-                        "activations never leave VMEM; resident + streamed)")
+                        "activations never leave VMEM; resident, streamed, "
+                        "or sharded over --devices with gradient psum)")
     t.add_argument("--checkpoints", action="store_true")
     t.add_argument("--resume", action="store_true",
                    help="continue from the latest epoch checkpoint")

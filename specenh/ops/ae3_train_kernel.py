@@ -715,11 +715,12 @@ def masked_bce_from_logits64(logits64, y64, lane_mask):
     return jnp.sum(per * w) / (jnp.sum(w) * 64.0)
 
 
-def kernel_value_and_grad3(params, x, y, mask, tm: TrainMaps3,
+def kernel_loss_grad_sums3(params, x, y, mask, tm: TrainMaps3,
                            block_tiles: int = 1, interpret: bool = False,
                            dtype=jnp.bfloat16):
-    """(loss, conv-param grads) from the fused depth-3 kernel — the
-    jax.value_and_grad equivalent on the Pallas path (traceable)."""
+    """UNNORMALIZED (bce_sum, mask_sum, grad_sums) — the data-parallel
+    building block (see ae_train_kernel.kernel_loss_grad_sums): psum all
+    three over the mesh axis, then normalize by the global denominator."""
     x64 = tiles_to_x64(x, dtype)
     y64 = tiles_to_y64(y, dtype)
     lm = _tile_mask_lanes3(mask)
@@ -727,12 +728,22 @@ def kernel_value_and_grad3(params, x, y, mask, tm: TrainMaps3,
     logits64, *gops = _pallas_train3(
         x64, y64, lm, fwd, bwd, tm, block_tiles, interpret, dtype
     )
-    denom = jnp.sum(mask) * float(np.prod(x.shape[1:]))
-    grads = jax.tree_util.tree_map(
-        lambda g: g / denom, unscatter_grads3(gops, tm)
+    z, yf = logits64, y64.astype(jnp.float32)
+    per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.sum(per * lm), jnp.sum(mask), unscatter_grads3(gops, tm)
+
+
+def kernel_value_and_grad3(params, x, y, mask, tm: TrainMaps3,
+                           block_tiles: int = 1, interpret: bool = False,
+                           dtype=jnp.bfloat16):
+    """(loss, conv-param grads) from the fused depth-3 kernel — the
+    jax.value_and_grad equivalent on the Pallas path (traceable)."""
+    bce_sum, msum, gsums = kernel_loss_grad_sums3(
+        params, x, y, mask, tm, block_tiles, interpret, dtype
     )
-    loss = masked_bce_from_logits64(logits64, y64, lm)
-    return loss, grads
+    denom = msum * float(np.prod(x.shape[1:]))  # == msum * LANES3 * 64
+    grads = jax.tree_util.tree_map(lambda g: g / denom, gsums)
+    return bce_sum / denom, grads
 
 
 def make_kernel_train_step3(cfg: ModelConfig, tx, block_tiles: int = 1,

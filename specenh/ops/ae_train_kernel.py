@@ -865,11 +865,15 @@ def masked_bce_from_logits16(logits16, y16, lane_mask):
     return jnp.sum(per * w) / (jnp.sum(w) * 16.0)
 
 
-def kernel_value_and_grad(params, x, y, mask, tm: TrainMaps,
+def kernel_loss_grad_sums(params, x, y, mask, tm: TrainMaps,
                           block_tiles: int = 1, interpret: bool = False,
                           dtype=jnp.bfloat16):
-    """(loss, conv-param grads) from the fused kernel — the
-    jax.value_and_grad equivalent on the Pallas path (traceable)."""
+    """UNNORMALIZED (bce_sum, mask_sum, grad_sums) from the fused kernel —
+    the data-parallel building block: ``lax.psum`` all three over the mesh
+    axis, then apply kernel_value_and_grad's normalization AFTER the
+    collective, so the sharded step equals the single-device step on the
+    unsharded batch even when one device's shard is all padding (a local
+    mean would be 0/0 there)."""
     x16 = tiles_to_x16(x, dtype)
     y16 = tiles_to_y16(y, dtype)
     lm = _tile_mask_lanes(mask)
@@ -877,12 +881,22 @@ def kernel_value_and_grad(params, x, y, mask, tm: TrainMaps,
     logits16, *gops = _pallas_train(
         x16, y16, lm, fwd, bwd, tm, block_tiles, interpret, dtype
     )
-    denom = jnp.sum(mask) * float(np.prod(x.shape[1:]))
-    grads = jax.tree_util.tree_map(
-        lambda g: g / denom, unscatter_grads(gops, tm)
+    z, yf = logits16, y16.astype(jnp.float32)
+    per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.sum(per * lm), jnp.sum(mask), unscatter_grads(gops, tm)
+
+
+def kernel_value_and_grad(params, x, y, mask, tm: TrainMaps,
+                          block_tiles: int = 1, interpret: bool = False,
+                          dtype=jnp.bfloat16):
+    """(loss, conv-param grads) from the fused kernel — the
+    jax.value_and_grad equivalent on the Pallas path (traceable)."""
+    bce_sum, msum, gsums = kernel_loss_grad_sums(
+        params, x, y, mask, tm, block_tiles, interpret, dtype
     )
-    loss = masked_bce_from_logits16(logits16, y16, lm)
-    return loss, grads
+    denom = msum * float(np.prod(x.shape[1:]))  # == msum * LANES * 16
+    grads = jax.tree_util.tree_map(lambda g: g / denom, gsums)
+    return bce_sum / denom, grads
 
 
 def make_kernel_train_step(cfg: ModelConfig, tx, block_tiles: int = 1,

@@ -111,6 +111,7 @@ def dp_fit(
     metrics_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    epoch_fn=None,
     verbose: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Multi-device Keras-fit equivalent.  ``batch_size`` is GLOBAL; it is
@@ -141,6 +142,10 @@ def dp_fit(
     bs = max(batch_size, n_dev)
     bs += (-bs) % n_dev
     n = x_train.shape[0]
+    # never exceed the (shard-padded) dataset: fit caps bs at n the same
+    # way — a 12-tile dataset on 8 devices trains in one 16-tile batch,
+    # not a 128-tile batch that is 90% padding
+    bs = min(bs, n + (-n) % n_dev)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     ds_sh = data if dataset_sharding == "data" else repl
@@ -205,18 +210,25 @@ def dp_fit(
         wb = jax.lax.with_sharding_constraint(wb, data)
         return bce_from_logits(apply_fn(params, xb, logits=True), yb, wb)
 
-    @partial(jax.jit, out_shardings=(repl, repl), donate_argnums=(0,))
-    def train_epoch(st, xs, ys, batch_idx, batch_mask):
-        def body(st, args):
-            idx, w = args
+    if epoch_fn is None:
 
-            def loss_fn(params):
-                return batch_loss(params, st.apply_fn, xs[idx], ys[idx], w)
+        @partial(jax.jit, out_shardings=(repl, repl), donate_argnums=(0,))
+        def train_epoch(st, xs, ys, batch_idx, batch_mask):
+            def body(st, args):
+                idx, w = args
 
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            return st.apply_gradients(grads=grads), loss
+                def loss_fn(params):
+                    return batch_loss(params, st.apply_fn, xs[idx], ys[idx], w)
 
-        return jax.lax.scan(body, st, (batch_idx, batch_mask))
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                return st.apply_gradients(grads=grads), loss
+
+            return jax.lax.scan(body, st, (batch_idx, batch_mask))
+
+    else:
+        # swapped engine (same contract as train.fit's epoch_fn) — e.g.
+        # parallel.dp_kernel.dp_kernel_epoch_for's shard_map'd fused kernel
+        train_epoch = epoch_fn
 
     @partial(jax.jit, out_shardings=repl)
     def eval_epoch(st, xs, ys, batch_idx, batch_mask):

@@ -1,0 +1,111 @@
+"""Data-parallel training on the fused Pallas kernel engine.
+
+The fused forward+backward kernel (ops/ae_train_kernel.py, depth-3 twin in
+ops/ae3_train_kernel.py) is a per-device program — the SPMD partitioner
+cannot split a ``pallas_call`` on its own.  This module scales it the
+TPU-native way: the batch is sharded over the ``data`` mesh axis, every
+device runs the SAME kernel on its shard inside one ``shard_map``, and the
+three UNNORMALIZED sums it emits (bce_sum, mask_sum, per-param grad sums)
+ride one ``lax.psum`` over ICI.  Normalizing by the *global* mask sum
+after the collective makes the sharded step equal the single-device step
+on the unsharded batch — including batches where one device's shard is
+all padding (a per-device mean would be 0/0 there).
+
+The reference trains single-process Keras (VAE/hyperparam_scan.py:177-184);
+multi-device training has no referent — this is the framework's own
+scaling of its fastest engine (measured 4.8x the f32 Flax step on v5e).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from specenh.config import ModelConfig, TrainConfig
+
+__all__ = ["dp_kernel_epoch_for"]
+
+
+def dp_kernel_epoch_for(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh,
+    axis: str = "data",
+    block_tiles: int = 1,
+    interpret: bool = False,
+    dtype=None,
+):
+    """Sharded epoch function on the fused train kernel — pass as
+    ``dp_fit(..., epoch_fn=...)``.  Same contract as train.kernel_epoch_for
+    (one ``lax.scan`` dispatch per epoch, checkpoints/val/predict
+    unchanged), with the per-batch step psum-reduced over ``axis``.
+
+    The global batch must be a multiple of the mesh axis size —
+    ``dp_fit`` already pads its batches with zero-masked rows.
+
+    CPU harness note: pass ``interpret=True, dtype=jnp.float32`` — XLA:CPU's
+    runtime rejects bf16 DotThunks at tiny per-device batch shapes (seen at
+    one tile/device; the CLI's CPU shim does this automatically)."""
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    tx = optax.adam(
+        train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2,
+        eps=train_cfg.adam_eps,
+    )
+    if model_cfg.depth == 3:
+        from specenh.ops.ae3_train_kernel import (
+            build_train_maps3 as build_maps,
+            kernel_loss_grad_sums3 as loss_grad_sums,
+        )
+    else:
+        from specenh.ops.ae_train_kernel import (
+            build_train_maps as build_maps,
+            kernel_loss_grad_sums as loss_grad_sums,
+        )
+    tm = build_maps(model_cfg)
+    denom_scale = float(np.prod(model_cfg.input_shape))
+    data = NamedSharding(mesh, P(axis))
+
+    def local_sums(params, xb, yb, mb):
+        sums = loss_grad_sums(
+            params, xb, yb, mb, tm, block_tiles, interpret, dtype
+        )
+        return lax.psum(sums, axis)
+
+    shmapped = shard_map(
+        local_sums, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes info, so the vma
+        # checker can't track them (same caveat as the serving shard_map
+        # in bench.harness); the psum above makes every output replicated
+        check_vma=False,
+    )
+
+    @jax.jit
+    def epoch(state, x, y, batch_idx, batch_mask):
+        def body(st, args):
+            idx, m = args
+            # the gather runs on the (possibly data-sharded) resident
+            # dataset; constraining the batch onto the data axis keeps the
+            # partitioner from replicating it before the shard_map
+            xb = lax.with_sharding_constraint(x[idx], data)
+            yb = lax.with_sharding_constraint(y[idx], data)
+            mb = lax.with_sharding_constraint(m, data)
+            bce_sum, msum, gsums = shmapped(st.params, xb, yb, mb)
+            denom = msum * denom_scale
+            grads = jax.tree_util.tree_map(lambda g: g / denom, gsums)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return st.replace(
+                params=params, opt_state=opt_state, step=st.step + 1
+            ), bce_sum / denom
+
+        return jax.lax.scan(body, state, (batch_idx, batch_mask))
+
+    return epoch

@@ -176,6 +176,21 @@ def test_train_stream_devices_warns_and_runs(workspace, capfd):
     assert "--devices 2 is ignored" in out
     assert np.isfinite(json.loads(out.strip().splitlines()[-1])["val_loss"])
 
+def test_train_kernel_devices_cli(workspace, capfd):
+    """train --engine kernel --devices 2: the data-parallel fused-kernel
+    engine (shard_map + gradient psum) end-to-end from the CLI."""
+    _ensure_dataset(workspace, capfd)
+    ds = str(workspace / "data.hdf5")
+    train_dir = str(workspace / "train_dp_kernel")
+    main(["train", "--dataset", ds, "--out-dir", train_dir, "--model",
+          "scan_k3", "--epochs", "1", "--num-shots", "2", "--devices", "2",
+          "--engine", "kernel", "--quiet"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["val_loss"]) and out["t_pred"] > 0
+    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
+        assert json.loads(fh.readline())["devices"] == 2
+
+
 def test_train_devices_cli(workspace, capfd):
     """train --devices 2: the dp_fit branch end-to-end — artifacts,
     metrics.jsonl (now passed through, round-3 review), checkpoints, and a

@@ -300,6 +300,59 @@ def test_dp_fit_checkpoint_resume_matches_uninterrupted(mesh8, tmp_path):
     assert all(r["devices"] == 8 and r["sec"] > 0 for r in recs)
 
 
+def test_dp_kernel_epoch_matches_single_device(mesh8):
+    """The shard_map'd fused-kernel epoch (parallel.dp_kernel) vs the
+    single-device kernel epoch: identical losses and final params.  The
+    second batch's tail devices hold ONLY padding tiles — the psum-then-
+    normalize formulation must survive an all-padding shard (a per-device
+    mean would be 0/0 there)."""
+    from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+    from specenh.train import _epoch_batches, kernel_epoch_for
+
+    cfg = ModelConfig()
+    tc = TrainConfig(seed=0)
+    rng = np.random.default_rng(4)
+    n = 12  # bs=8 over 8 devices: batch 2 = 4 real + 4 padding tiles
+    x = jnp.asarray(rng.random((n, 256, 128, 1)), jnp.float32)
+    y = jnp.asarray((rng.random((n, 256, 128, 1)) > 0.6), jnp.float32)
+    bi, bm = _epoch_batches(n, 8, np.arange(n))
+    bi, bm = jnp.asarray(bi), jnp.asarray(bm)
+
+    s1 = create_state(cfg, tc)
+    ep1 = kernel_epoch_for(cfg, tc, interpret=True, dtype=jnp.float32)
+    s1, l1 = ep1(s1, x, y, bi, bm)
+
+    s2 = create_state(cfg, tc)
+    ep2 = dp_kernel_epoch_for(cfg, tc, mesh8, interpret=True,
+                              dtype=jnp.float32)
+    s2, l2 = ep2(s2, x, y, bi, bm)
+
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-5)
+    f1, _ = jax.flatten_util.ravel_pytree(s1.params)
+    f2, _ = jax.flatten_util.ravel_pytree(s2.params)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-4, atol=5e-6)
+
+
+def test_dp_fit_kernel_engine(mesh8):
+    """dp_fit(epoch_fn=dp_kernel_epoch_for(...)) — the CLI
+    `--engine kernel --devices N` path — trains: finite decreasing loss."""
+    from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+    cfg = ModelConfig()
+    tc = TrainConfig(seed=1)
+    rng = np.random.default_rng(5)
+    x = rng.random((8, 256, 128, 1)).astype(np.float32)
+    y = (rng.random((8, 256, 128, 1)) > 0.6).astype(np.float32)
+    state = create_state(cfg, tc)
+    ep = dp_kernel_epoch_for(cfg, tc, mesh8, interpret=True,
+                             dtype=jnp.float32)
+    state, hist = dp_fit(state, x, y, mesh8, epochs=3, batch_size=8,
+                         epoch_fn=ep)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
 def test_dp_fit_device_resident_inputs_match_host(mesh8):
     """jax.Array inputs (the e2e device-resident path) pad/reshard on
     device and train identically to the same data passed as numpy
