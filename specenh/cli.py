@@ -344,12 +344,33 @@ def cmd_train_raw(args):
                 read_ece_channels(p, list(range(1, args.channels + 1)), cfg.spec.n_samples)
             )
     traces = np.concatenate(traces, axis=0)
+    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by)
+    engine = getattr(args, "engine", None) or "f32"
+    epoch_fn = None
+    if engine == "kernel":
+        import jax
+
+        from specenh.ops.ae3_kernel import supports3 as _tk_supports3
+        from specenh.ops.ae_train_kernel import supports as _tk_supports
+        from specenh.train import kernel_epoch_for
+
+        if not (_tk_supports(model_cfg) or _tk_supports3(model_cfg)):
+            raise SystemExit(
+                f"--engine kernel does not support the '{args.model}' "
+                "geometry; use f32/bf16"
+            )
+        epoch_fn = kernel_epoch_for(
+            model_cfg, train_cfg,
+            interpret=jax.default_backend() == "cpu",
+        )
     state, hist = train_from_raw(
         traces, cfg, model_cfg,
-        TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by),
+        train_cfg,
         # shot-major stacking above: each file contributed args.channels
         # traces, so the leak-free split groups them back into shots
         channels_per_shot=args.channels,
+        dtype=jnp.bfloat16 if engine == "bf16" else None,
+        epoch_fn=epoch_fn,
         verbose=not args.quiet,
     )
     os.makedirs(args.out_dir, exist_ok=True)
@@ -773,6 +794,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--split-by", choices=["tile", "shot"], default="tile",
                     help="'tile' = reference-exact leaky split; 'shot' = leak-free")
     tr.add_argument("--binary", action="store_true")
+    tr.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None,
+                    help="training engine (same semantics as `train`)")
     tr.add_argument("--quiet", action="store_true")
     tr.set_defaults(fn=cmd_train_raw)
 

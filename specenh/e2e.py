@@ -68,6 +68,7 @@ def train_from_raw(
     train_cfg: Optional[TrainConfig] = None,
     epochs: Optional[int] = None,
     channels_per_shot: int = 1,
+    dtype=None,
     verbose: bool = False,
     **fit_kwargs,
 ) -> Tuple[TrainState, Dict[str, list]]:
@@ -82,6 +83,10 @@ def train_from_raw(
     ``channels_per_shot`` so all channels of one physical shot land on the
     same side (the default 1 treats each trace as its own shot, the
     correct value for single-channel campaigns only).
+
+    ``dtype`` forwards to ``create_state`` (bf16 fast mode); engine swaps
+    ride ``fit_kwargs`` (``epoch_fn=kernel_epoch_for(...)`` for the fused
+    Pallas trainer — the CLI's ``train-raw --engine kernel``).
     """
     model_cfg = model_cfg or cfg.model
     train_cfg = train_cfg or cfg.train
@@ -107,7 +112,7 @@ def train_from_raw(
         a, b = a_s * k, b_s * k
     else:
         a, b = int(n * train_cfg.split_fracs[0]), int(n * train_cfg.split_fracs[1])
-    state = create_state(model_cfg, train_cfg)
+    state = create_state(model_cfg, train_cfg, dtype=dtype)
     state, history = fit(
         state,
         x[:a], y[:a], x[a:b], y[a:b],

@@ -148,6 +148,20 @@ def test_train_raw_device_resident(workspace, capfd):
     assert np.isfinite(rec["val_loss"]) and rec["channels"] == 4
     assert os.path.exists(os.path.join(out, "model"))
 
+
+def test_train_raw_kernel_engine(workspace, capfd):
+    """train-raw --engine kernel: the device-resident fast path on the
+    fused Pallas trainer (interpret shim on CPU)."""
+    _ensure_dataset(workspace, capfd)
+    raw = str(workspace / "raw")
+    out = str(workspace / "train_raw_kernel")
+    main(["train-raw", "--data-dir", raw, "--out-dir", out, "--channels", "2",
+          "--cut-shot", "0.1", "--epochs", "1", "--engine", "kernel",
+          "--quiet"])
+    rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"]) and rec["channels"] == 4
+    assert os.path.exists(os.path.join(out, "model"))
+
 def test_sweep_stray_axis_flag_errors(workspace, capfd):
     """An axis flag the selected grid never reads must error up front, not
     silently run the default grid (round-3 review)."""
