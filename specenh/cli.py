@@ -666,7 +666,7 @@ def cmd_serve(args):
     totals = serve_forever(
         service, args.watch_dir, args.out,
         poll_s=args.poll, max_shots=args.max_shots, once=args.once,
-        verbose=not args.quiet,
+        writers=args.writers, verbose=not args.quiet,
     )
     print(json.dumps(totals))
 
@@ -888,6 +888,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--max-shots", type=int, default=None)
     sv.add_argument("--once", action="store_true",
                     help="drain the current backlog and exit")
+    sv.add_argument("--writers", type=int, default=1,
+                    help="parallel HDF5 writer threads/files (persist is "
+                         "the measured serving bottleneck; readers see one "
+                         "union store)")
     sv.add_argument("--quiet", action="store_true")
     sv.set_defaults(fn=cmd_serve)
 

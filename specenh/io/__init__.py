@@ -8,4 +8,8 @@ from specenh.io.shots import (  # noqa: F401
     read_ece_channels,
     shot_number_from_path,
 )
-from specenh.io.store import CampaignManifest, SpectrogramStore  # noqa: F401
+from specenh.io.store import (  # noqa: F401
+    CampaignManifest,
+    SpectrogramStore,
+    StoreWriterPool,
+)

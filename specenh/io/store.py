@@ -20,6 +20,7 @@ Improvements over the reference (SURVEY.md section 5):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import warnings
@@ -27,7 +28,12 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["SpectrogramStore", "CampaignManifest", "retire_stale_manifest"]
+__all__ = [
+    "SpectrogramStore",
+    "StoreWriterPool",
+    "CampaignManifest",
+    "retire_stale_manifest",
+]
 
 
 def _free_corrupt_name(path: str) -> str:
@@ -57,6 +63,14 @@ class SpectrogramStore:
     moved path in ``self.quarantined`` so campaign drivers can retire the
     paired manifest too (its "done" records point at lost data).  Read
     modes never destroy evidence: the OSError propagates.
+
+    Sharded layout: a :class:`StoreWriterPool` with N>1 writers persists
+    into the base file plus sidecar files ``<path>.shard1``, ``.shard2``,
+    …  In READ mode the store opens any such sidecars automatically and
+    presents the UNION (base first, shards in index order — duplicates
+    resolve to the earliest file), so downstream consumers (sweep, train,
+    assemble_from_store) never see the sharding.  An unreadable sidecar in
+    read mode is an error like any other read-mode corruption.
     """
 
     def __init__(self, path: str, mode: str = "a"):
@@ -77,6 +91,49 @@ class SpectrogramStore:
                 "starting a fresh store (a crashed campaign likely truncated it)"
             )
             self._f = h5py.File(path, mode)
+        self._shards: List = []
+        self._owners: Dict = {}
+        if mode == "r":
+            # writer-pool sidecars, shard index order (shard1, shard2, …)
+            sidecars = sorted(
+                (p for p in glob.glob(path + ".shard*")
+                 if p[len(path) + 6:].isdigit()),
+                key=lambda p: int(p[len(path) + 6:]),
+            )
+            self._shards = [h5py.File(p, "r") for p in sidecars]
+            if self._shards:
+                # resolve each top-level group to ONE file.  A shot group
+                # duplicated across files (a crash left a partial write,
+                # the retry landed elsewhere) resolves to the file with
+                # the MOST channels; ties to the earliest file (base
+                # first) — metadata-only scan, no data reads.
+                best: Dict[str, int] = {}
+                for f in self._files():
+                    for k in f.keys():
+                        n = len(f[k])
+                        if n > best.get(k, -1):
+                            best[k] = n
+                            self._owners[k] = f
+
+    # -- shard resolution -----------------------------------------------------
+
+    def _files(self):
+        yield self._f
+        yield from self._shards
+
+    def _file_of(self, name: str):
+        """The h5py file holding group ``name``.  Top-level shot groups
+        resolve through the owner map (most-complete file wins); deeper
+        names fall back to a scan when absent from the owner."""
+        if self._owners:
+            f = self._owners.get(name.split("/", 1)[0])
+            if f is not None and name in f:
+                return f
+        for f in self._files():
+            if name in f:
+                return f
+        # preserve h5py's KeyError semantics for missing groups
+        return self._f
 
     # -- writing ------------------------------------------------------------
 
@@ -102,22 +159,32 @@ class SpectrogramStore:
     # -- reading (hyperparam_scan.py:130-141 access pattern) -----------------
 
     def shots(self) -> List[str]:
-        return list(self._f.keys())
+        seen, out = set(), []
+        for f in self._files():
+            for k in f.keys():
+                if k not in seen:
+                    seen.add(k)
+                    out.append(k)
+        return out
 
     def channels_of(self, shot_group: str) -> List[int]:
-        return sorted(int(n.split("_")[1]) for n in self._f[shot_group].keys())
+        grp = self._file_of(shot_group)[shot_group]
+        return sorted(int(n.split("_")[1]) for n in grp.keys())
 
     def has_channel(self, shot_group: str, chn: int) -> bool:
-        return f"{shot_group}/chn_{chn}" in self._f
+        name = f"{shot_group}/chn_{chn}"
+        return any(name in f for f in self._files())
 
     def spec_shape(self, shot_group: str, chn: int) -> Tuple[int, ...]:
         """Shape of one channel's spectrogram WITHOUT reading the data
         (h5py dataset metadata) — the streaming split plan sizes every
         record from this."""
-        return tuple(self._f[f"{shot_group}/chn_{chn}"]["spec"].shape)
+        name = f"{shot_group}/chn_{chn}"
+        return tuple(self._file_of(name)[name]["spec"].shape)
 
     def read_channel(self, shot_group: str, chn: int) -> Dict[str, np.ndarray]:
-        grp = self._f[f"{shot_group}/chn_{chn}"]
+        name = f"{shot_group}/chn_{chn}"
+        grp = self._file_of(name)[name]
         return {k: np.asarray(grp[k]) for k in ("spec", "f", "t", "pipeline_out")}
 
     def read_spec_and_labels(
@@ -125,21 +192,83 @@ class SpectrogramStore:
     ) -> Tuple[np.ndarray, np.ndarray]:
         specs, labels = [], []
         for chn in channels:
-            grp = self._f[f"{shot_group}/chn_{chn}"]
+            name = f"{shot_group}/chn_{chn}"
+            grp = self._file_of(name)[name]
             specs.append(np.asarray(grp["spec"]))
             labels.append(np.asarray(grp["pipeline_out"]))
         return np.stack(specs), np.stack(labels)
 
     def iter_channels(self) -> Iterator[Tuple[str, int]]:
-        for shot in self._f:
-            for chn_name in self._f[shot]:
-                yield shot, int(chn_name.split("_")[1])
+        seen = set()
+        for f in self._files():
+            for shot in f:
+                if shot in seen:
+                    continue
+                seen.add(shot)
+                for chn_name in self._file_of(shot)[shot]:
+                    yield shot, int(chn_name.split("_")[1])
 
     def flush(self):
         self._f.flush()
 
     def close(self):
         self._f.close()
+        for f in self._shards:
+            f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StoreWriterPool:
+    """N parallel HDF5 stores for write-bound services (the serving
+    daemon's persist stage is ~50x its device compute — PERF_NOTES
+    "Serving daemon pipeline").
+
+    HDF5 serializes all writers on one file, so the pool gives each writer
+    thread its OWN file: the base ``path`` plus ``<path>.shard1`` …
+    ``<path>.shard{N-1}`` sidecars.  Shots route deterministically
+    (``shard_of``: stable CRC32 of the shot id, mod N) so a shot
+    reprocessed after a crash overwrites IN PLACE instead of duplicating
+    across shards (and ``SpectrogramStore('r')``'s union view resolves any
+    straddlers that do occur — e.g. after changing ``--writers`` — to the
+    most-complete copy).  Each store in ``stores`` must be touched by
+    exactly one thread; the pool itself only constructs/flushes/closes.
+    """
+
+    def __init__(self, path: str, writers: int = 1):
+        if writers < 1:
+            raise ValueError(f"writers must be >= 1, got {writers}")
+        self.path = path
+        self.writers = writers
+        self.stores = [SpectrogramStore(path)] + [
+            SpectrogramStore(f"{path}.shard{k}") for k in range(1, writers)
+        ]
+
+    @property
+    def quarantined(self) -> Optional[str]:
+        """First quarantined shard path, if any (retire_stale_manifest
+        contract: the manifest's 'done' records died with that file)."""
+        for s in self.stores:
+            if s.quarantined:
+                return s.quarantined
+        return None
+
+    def shard_of(self, shot) -> int:
+        import zlib
+
+        return zlib.crc32(str(shot).encode()) % self.writers
+
+    def flush(self):
+        for s in self.stores:
+            s.flush()
+
+    def close(self):
+        for s in self.stores:
+            s.close()
 
     def __enter__(self):
         return self

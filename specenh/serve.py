@@ -28,7 +28,12 @@ from specenh.config import Config, ModelConfig
 from specenh.bench.harness import make_enhance_shot_fn
 from specenh.io.native import read_shot
 from specenh.io.shots import shot_number_from_path
-from specenh.io.store import CampaignManifest, SpectrogramStore, retire_stale_manifest
+from specenh.io.store import (
+    CampaignManifest,
+    SpectrogramStore,
+    StoreWriterPool,
+    retire_stale_manifest,
+)
 from specenh.ops.stft import spectrogram_freqs, spectrogram_times
 from specenh.utils.logging import MetricsLogger
 
@@ -90,12 +95,15 @@ def serve_once(
 
     Fully pipelined host side (three stages on their own threads/queues):
     a READER thread pulls shots off disk, the MAIN thread dispatches to
-    the device (async; two results in flight, bounded by the queue), and
-    a WRITER thread syncs results to host and persists them — so disk
-    read of shot i+1, device compute of shot i, and the HDF5 persist of
-    shot i-1 genuinely overlap.  The store/manifest/metrics are touched
-    ONLY by the writer thread (h5py is not thread-safe for concurrent
-    writers).
+    the device (async; results in flight bounded by the queues), and
+    WRITER threads sync results to host and persist them — so disk read
+    of shot i+1, device compute of shot i, and the HDF5 persist of shot
+    i-1 genuinely overlap.  ``store`` may be a single SpectrogramStore
+    (one writer thread, today's layout) or a :class:`StoreWriterPool`
+    (N writer threads, each owning its OWN shard file — the persist
+    stage is the measured bottleneck and HDF5 serializes writers per
+    file).  Each h5py file is touched by exactly one thread; the
+    manifest/metrics/counters are serialized by a lock.
 
     Metrics per shot: ``read_s`` (disk) and ``latency_s`` (arrival ->
     persisted; includes pipeline queueing — the honest end-to-end number).
@@ -115,9 +123,15 @@ def serve_once(
     if not todo:
         return counts
 
+    if isinstance(store, StoreWriterPool):
+        stores, shard_of = store.stores, store.shard_of
+    else:
+        stores, shard_of = [store], lambda shot: 0
+
     q_in: "queue.Queue" = queue.Queue(maxsize=2)
-    q_out: "queue.Queue" = queue.Queue(maxsize=2)
+    q_outs = [queue.Queue(maxsize=2) for _ in stores]
     stop = threading.Event()
+    io_lock = threading.Lock()  # manifest + metrics + counts + prints
 
     def reader():
         for shot, path in todo:
@@ -133,7 +147,7 @@ def serve_once(
                 q_in.put(("err", shot, t0, time.perf_counter() - t0, e))
         q_in.put(None)
 
-    def writer():
+    def writer(own_store, q_out):
         while True:
             item = q_out.get()
             if item is None:
@@ -141,41 +155,53 @@ def serve_once(
             kind, shot, t0, read_s, payload = item
             try:
                 if kind == "err":
-                    manifest.mark_failed(shot, str(payload))
-                    counts["failed"] += 1
-                    if verbose:
-                        print(f"quarantined {shot}: {payload}")
+                    with io_lock:
+                        manifest.mark_failed(shot, str(payload))
+                        counts["failed"] += 1
+                        if verbose:
+                            print(f"quarantined {shot}: {payload}")
                     continue
                 specs, enhanced = payload
                 # device -> host sync happens HERE, off the dispatch path
                 specs, enhanced = np.asarray(specs), np.asarray(enhanced)
                 for i in range(specs.shape[0]):
-                    store.write_channel(
+                    own_store.write_channel(
                         shot, i + 1, specs[i], service._f, service._t,
                         enhanced[i], prefix="enhanced",
                     )
-                store.flush()
-                manifest.mark_done(shot)
+                own_store.flush()
                 latency = time.perf_counter() - t0
-                counts["done"] += 1
-                if metrics:
-                    metrics.log(
-                        "shot_enhanced", shot=shot,
-                        channels=int(specs.shape[0]),
-                        latency_s=latency, read_s=read_s,
-                    )
-                if verbose:
-                    print(f"shot {shot}: {specs.shape[0]} channels in {latency:.2f}s")
+                with io_lock:
+                    manifest.mark_done(shot)
+                    counts["done"] += 1
+                    if metrics:
+                        metrics.log(
+                            "shot_enhanced", shot=shot,
+                            channels=int(specs.shape[0]),
+                            latency_s=latency, read_s=read_s,
+                        )
+                    if verbose:
+                        print(
+                            f"shot {shot}: {specs.shape[0]} channels "
+                            f"in {latency:.2f}s"
+                        )
             except Exception as e:  # persist failure: quarantine, keep serving
-                manifest.mark_failed(shot, f"persist: {e}")
-                counts["failed"] += 1
-                if verbose:
-                    print(f"persist failed for {shot}: {e}")
+                with io_lock:
+                    manifest.mark_failed(shot, f"persist: {e}")
+                    counts["failed"] += 1
+                    if verbose:
+                        print(f"persist failed for {shot}: {e}")
 
     rt = threading.Thread(target=reader, name="serve-reader", daemon=True)
-    wt = threading.Thread(target=writer, name="serve-writer", daemon=True)
+    wts = [
+        threading.Thread(
+            target=writer, args=(s, q), name=f"serve-writer-{k}", daemon=True
+        )
+        for k, (s, q) in enumerate(zip(stores, q_outs))
+    ]
     rt.start()
-    wt.start()
+    for wt in wts:
+        wt.start()
     t_start = time.perf_counter()
     try:
         while True:
@@ -184,19 +210,21 @@ def serve_once(
                 break
             kind, shot, t0, read_s, payload = item
             if kind == "err":
-                q_out.put((kind, shot, t0, read_s, payload))
+                q_outs[shard_of(shot)].put((kind, shot, t0, read_s, payload))
                 continue
             result = service.fn(service.params, payload)  # async dispatch
-            q_out.put(("ok", shot, t0, read_s, result))
+            q_outs[shard_of(shot)].put(("ok", shot, t0, read_s, result))
     finally:
         # Shutdown MUST complete before serve_once returns or raises:
-        # the caller's `with SpectrogramStore(...)` closes the h5py file
-        # the writer thread is using, so an exception (dispatch error,
+        # the caller's `with SpectrogramStore(...)` closes the h5py files
+        # the writer threads are using, so an exception (dispatch error,
         # KeyboardInterrupt) escaping with threads still live would have
-        # the writer persisting into a closed store.  Finish the writer's
+        # a writer persisting into a closed store.  Finish the writers'
         # in-flight work, then unwedge and retire the reader.
-        q_out.put(None)
-        wt.join()
+        for q_out in q_outs:
+            q_out.put(None)
+        for wt in wts:
+            wt.join()
         stop.set()
         while rt.is_alive():  # drain q_in so a blocked reader put returns
             try:
@@ -208,7 +236,7 @@ def serve_once(
     if metrics:
         metrics.log(
             "serve_batch", done=counts["done"], failed=counts["failed"],
-            seconds=elapsed,
+            seconds=elapsed, writers=len(stores),
             shots_per_sec=(counts["done"] / elapsed) if elapsed > 0 else 0.0,
         )
     return counts
@@ -221,13 +249,21 @@ def serve_forever(
     poll_s: float = 1.0,
     max_shots: Optional[int] = None,
     once: bool = False,
+    writers: int = 1,
     verbose: bool = True,
 ) -> dict:
     """Poll ``watch_dir`` until ``max_shots`` NEW shots processed (or
     forever).  ``once=True`` drains the current backlog and returns — use
     for scripted runs; without it a restart against a fully-processed
-    directory keeps waiting for new shots (daemon semantics)."""
-    store = SpectrogramStore(out_store)
+    directory keeps waiting for new shots (daemon semantics).
+
+    ``writers > 1`` shards the persist stage (the measured serving
+    bottleneck) over that many HDF5 writer threads/files — see
+    :class:`StoreWriterPool`; downstream readers see one union store."""
+    store = (
+        StoreWriterPool(out_store, writers)
+        if writers > 1 else SpectrogramStore(out_store)
+    )
     retire_stale_manifest(store, out_store + ".serve.jsonl")
     manifest = CampaignManifest(out_store + ".serve.jsonl")
     totals = {"done": 0, "failed": 0}

@@ -132,6 +132,55 @@ def test_store_quarantines_truncated_file(tmp_path):
     store2.close()
 
 
+def test_sharded_store_union_read(tmp_path):
+    """A StoreWriterPool persists across base + .shardK sidecars; read
+    mode presents the union transparently (every consumer keeps opening
+    SpectrogramStore(path, 'r'))."""
+    from specenh.io.store import StoreWriterPool
+
+    path = str(tmp_path / "d.hdf5")
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    with StoreWriterPool(path, writers=3) as pool:
+        assert pool.quarantined is None
+        for shot in ("100", "101", "102", "103"):
+            st = pool.stores[pool.shard_of(shot)]
+            st.write_channel(shot, 1, a + int(shot), a[0], a[0], a)
+        pool.flush()
+        # deterministic routing spread the shots over >1 file
+        assert sum(1 for s in pool.stores if s.shots()) > 1
+
+    with SpectrogramStore(path, "r") as store:
+        assert sorted(store.shots()) == [f"ece_{s}" for s in (100, 101, 102, 103)]
+        for shot in (100, 101, 102, 103):
+            assert store.has_channel(f"ece_{shot}", 1)
+            assert store.spec_shape(f"ece_{shot}", 1) == (4, 4)
+            np.testing.assert_array_equal(
+                store.read_channel(f"ece_{shot}", 1)["spec"], a + shot
+            )
+        assert sorted(store.iter_channels()) == [
+            (f"ece_{s}", 1) for s in (100, 101, 102, 103)
+        ]
+        x, y = store.read_spec_and_labels("ece_102", [1])
+        np.testing.assert_array_equal(x[0], a + 102)
+
+
+def test_sharded_store_duplicate_resolves_to_most_complete(tmp_path):
+    """A shot group straddling two files (crash left a partial write, the
+    retry landed elsewhere — e.g. after changing --writers) resolves to
+    the file with the MOST channels, not blindly to the base."""
+    path = str(tmp_path / "d.hdf5")
+    a = np.zeros((4, 4), np.float32)
+    with SpectrogramStore(path) as base:
+        base.write_channel("7", 1, a, a[0], a[0], a)  # stale partial: 1 chn
+    with SpectrogramStore(path + ".shard1") as sh:
+        for c in (1, 2):  # complete retry: 2 chns, different data
+            sh.write_channel("7", c, a + 9, a[0], a[0], a)
+    with SpectrogramStore(path, "r") as store:
+        assert store.shots() == ["ece_7"]
+        assert store.channels_of("ece_7") == [1, 2]
+        np.testing.assert_array_equal(store.read_channel("ece_7", 1)["spec"], a + 9)
+
+
 def test_manifest_resume(tmp_path):
     p = str(tmp_path / "m.jsonl")
     m = CampaignManifest(p)

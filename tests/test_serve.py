@@ -113,6 +113,51 @@ def test_serve_max_new_counts_inflight(tmp_path):
     manifest.close()
 
 
+def test_serve_writer_pool_shards_persist(tmp_path):
+    """serve_once with a StoreWriterPool: N writer threads each own a
+    shard file; the union read view sees every shot; the manifest makes a
+    pooled restart idempotent (incl. a corrupt shot quarantined once)."""
+    from specenh.io.store import StoreWriterPool
+
+    cfg, watch = _setup(tmp_path, n_shots=4)
+    (tmp_path / "in" / "shot_50.bin").write_bytes(b"garbage")
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    manifest = CampaignManifest(out + ".serve.jsonl")
+    with StoreWriterPool(out, writers=3) as pool:
+        r1 = serve_once(service, watch, pool, manifest, verbose=False)
+        r2 = serve_once(service, watch, pool, manifest, verbose=False)
+        assert r1 == {"done": 4, "failed": 1}
+        assert r2 == {"done": 0, "failed": 0}
+        # the persist genuinely sharded over >1 file
+        assert sum(1 for s in pool.stores if s.shots()) > 1
+    manifest.close()
+    with SpectrogramStore(out, "r") as store:
+        assert sorted(store.shots()) == [
+            f"enhanced_{100 + s}" for s in range(4)
+        ]
+        for s in range(4):
+            assert store.channels_of(f"enhanced_{100 + s}") == [1, 2]
+
+
+def test_serve_forever_writers_cli_path(tmp_path):
+    """serve_forever(writers=N) builds the pool, retires stale manifests
+    through it, and drains the backlog."""
+    from specenh.serve import serve_forever
+
+    cfg, watch = _setup(tmp_path, n_shots=2)
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)))
+    service = EnhanceService(cfg, tiny, n_channels=2)
+    out = str(tmp_path / "out.hdf5")
+    totals = serve_forever(
+        service, watch, out, once=True, writers=2, verbose=False
+    )
+    assert totals == {"done": 2, "failed": 0}
+    with SpectrogramStore(out, "r") as store:
+        assert sorted(store.shots()) == ["enhanced_100", "enhanced_101"]
+
+
 def test_mesh_kernel_uneven_channels_clear_error():
     """Forced fused-kernel serving over a mesh with a channel count that
     doesn't divide the axis raises up front (auto mode routes such counts
