@@ -50,7 +50,7 @@ def cmd_build_data(args):
         files = sorted(_glob.glob(os.path.join(args.data_dir, "*.bin")))
         summary = build_dataset_streaming(
             cfg, files, n_channels=args.channels, store_path=args.out,
-            verbose=not args.quiet,
+            writers=args.writers, verbose=not args.quiet,
         )
     else:
         from specenh.pipeline import build_dataset
@@ -734,6 +734,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--cut-shot", type=float, default=None)
     b.add_argument("--binary", action="store_true",
                    help="stream SPEC .bin shots via the native prefetcher")
+    b.add_argument("--writers", type=int, default=1,
+                   help="parallel HDF5 writer threads/files on the streaming "
+                        "(--binary) path; readers see one union store")
     b.add_argument("--quiet", action="store_true")
     b.set_defaults(fn=cmd_build_data)
 

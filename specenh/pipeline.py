@@ -109,13 +109,24 @@ def build_dataset_streaming(
     store_path: Optional[str] = None,
     manifest_path: Optional[str] = None,
     n_threads: int = 4,
+    writers: int = 1,
     verbose: bool = True,
 ) -> dict:
     """Campaign over SPEC binary shots with the NATIVE threaded prefetcher:
-    disk IO + decode run in C++ worker threads while the device computes the
-    previous shot's STFT + pipeline — the streaming production path
-    (falls back to synchronous Python reads without the native library)."""
+    disk IO + decode run in C++ worker threads, the device computes the
+    current shot's STFT + pipeline, and WRITER threads sync + persist
+    results — all three stages overlap (the streaming production path;
+    falls back to synchronous Python reads without the native library).
+
+    ``writers > 1`` shards the HDF5 persist over that many files (see
+    :class:`specenh.io.store.StoreWriterPool`) — the persist stage is the
+    measured host-side bottleneck once the device is fast, and HDF5
+    serializes writers per file.  Readers see one union store."""
+    import queue
+    import threading
+
     from specenh.io.native import NativePrefetcher
+    from specenh.io.store import StoreWriterPool
 
     store_path = store_path or cfg.paths.dataset_file
     manifest_path = manifest_path or store_path + ".manifest.jsonl"
@@ -124,8 +135,8 @@ def build_dataset_streaming(
     t_axis = spectrogram_times(cfg.spec)
 
     bin_files = list(bin_files)
-    store = SpectrogramStore(store_path)
-    retire_stale_manifest(store, manifest_path)
+    pool = StoreWriterPool(store_path, writers)
+    retire_stale_manifest(pool, manifest_path)
     manifest = CampaignManifest(manifest_path)
     pending = [
         p for p in bin_files
@@ -133,43 +144,71 @@ def build_dataset_streaming(
         and shot_number_from_path(p) not in manifest.failed_shots
     ]
     skipped = len(bin_files) - len(pending)
-    done = failed = 0
-    inflight = None  # (shot, device_result) — overlap host IO with device
+    counts = {"done": 0, "failed": 0}
+    io_lock = threading.Lock()  # manifest + counts + prints
+    qs = [queue.Queue(maxsize=2) for _ in pool.stores]
 
-    def _drain(store, item):
-        nonlocal done
-        shot, (specs, labels) = item
-        specs = np.asarray(specs)
-        labels = np.asarray(labels)
-        for i in range(specs.shape[0]):
-            store.write_channel(shot, i + 1, specs[i], f_axis, t_axis, labels[i])
-        store.flush()
-        manifest.mark_done(shot)
-        done += 1
-        if verbose:
-            print(f"shot {shot}: {specs.shape[0]} channels written")
-
-    with store:
-        with NativePrefetcher(
-            pending, n_channels, cfg.spec.n_samples, n_threads=n_threads
-        ) as pf:
-            for idx, traces in pf:
-                if traces is None:
-                    # the prefetcher reports the shot index even on failure
-                    # — quarantine the file so resumes skip it instead of
-                    # re-reading and re-failing forever
-                    bad = shot_number_from_path(pending[idx])
-                    manifest.mark_failed(bad, "unreadable SPEC binary")
-                    failed += 1
+    def writer(own_store, q):
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            shot, (specs, labels) = item
+            try:
+                # device -> host sync happens HERE, off the dispatch path
+                specs = np.asarray(specs)
+                labels = np.asarray(labels)
+                for i in range(specs.shape[0]):
+                    own_store.write_channel(
+                        shot, i + 1, specs[i], f_axis, t_axis, labels[i]
+                    )
+                own_store.flush()
+                with io_lock:
+                    manifest.mark_done(shot)
+                    counts["done"] += 1
                     if verbose:
-                        print(f"shot {bad}: read failed, quarantined")
-                    continue
-                shot = shot_number_from_path(pending[idx])
-                result = fn(jnp.asarray(traces))  # async dispatch
-                if inflight is not None:
-                    _drain(store, inflight)
-                inflight = (shot, result)
-            if inflight is not None:
-                _drain(store, inflight)
+                        print(f"shot {shot}: {specs.shape[0]} channels written")
+            except Exception as e:  # persist failure: quarantine, continue
+                with io_lock:
+                    manifest.mark_failed(shot, f"persist: {e}")
+                    counts["failed"] += 1
+                    if verbose:
+                        print(f"persist failed for {shot}: {e}")
+
+    wts = [
+        threading.Thread(
+            target=writer, args=(s, q), name=f"campaign-writer-{k}", daemon=True
+        )
+        for k, (s, q) in enumerate(zip(pool.stores, qs))
+    ]
+    for wt in wts:
+        wt.start()
+    with pool:
+        try:
+            with NativePrefetcher(
+                pending, n_channels, cfg.spec.n_samples, n_threads=n_threads
+            ) as pf:
+                for idx, traces in pf:
+                    if traces is None:
+                        # the prefetcher reports the shot index even on
+                        # failure — quarantine the file so resumes skip it
+                        # instead of re-reading and re-failing forever
+                        bad = shot_number_from_path(pending[idx])
+                        with io_lock:
+                            manifest.mark_failed(bad, "unreadable SPEC binary")
+                            counts["failed"] += 1
+                            if verbose:
+                                print(f"shot {bad}: read failed, quarantined")
+                        continue
+                    shot = shot_number_from_path(pending[idx])
+                    result = fn(jnp.asarray(traces))  # async dispatch
+                    qs[pool.shard_of(shot)].put((shot, result))
+        finally:
+            # writers must retire BEFORE the pool's h5py files close
+            # (same shutdown contract as serve.serve_once)
+            for q in qs:
+                q.put(None)
+            for wt in wts:
+                wt.join()
     manifest.close()
-    return {"done": done, "skipped": skipped, "failed": failed}
+    return {"done": counts["done"], "skipped": skipped, "failed": counts["failed"]}

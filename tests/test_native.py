@@ -101,6 +101,42 @@ def test_streaming_pipeline_quarantines_and_skips(tmp_path):
     assert r2["done"] == 0 and r2["failed"] == 0 and r2["skipped"] == 2
 
 
+def test_streaming_pipeline_writer_pool(tmp_path):
+    """build_dataset_streaming(writers=N): persist shards over N files,
+    union read sees every shot, resume stays idempotent."""
+    from specenh.config import Config, SpecParams
+    from specenh.io.store import SpectrogramStore
+    from specenh.pipeline import build_dataset_streaming
+
+    sp = SpecParams(cut_shot=0.01)
+    cfg = Config(spec=sp)
+    files = []
+    for s in range(4):
+        p = tmp_path / f"ece_{100 + s}.bin"
+        _make_shot(p, c=2, s=sp.n_samples, seed=s)
+        files.append(str(p))
+    store = str(tmp_path / "ds.h5")
+
+    r1 = build_dataset_streaming(
+        cfg, files, 2, store_path=store, writers=3, verbose=False
+    )
+    assert r1["done"] == 4 and r1["failed"] == 0
+    r2 = build_dataset_streaming(
+        cfg, files, 2, store_path=store, writers=3, verbose=False
+    )
+    assert r2 == {"done": 0, "skipped": 4, "failed": 0}
+
+    with SpectrogramStore(store, "r") as st:
+        assert sorted(st.shots()) == [f"ece_{100 + s}" for s in range(4)]
+        for s in range(4):
+            assert st.channels_of(f"ece_{100 + s}") == [1, 2]
+            assert st.read_channel(f"ece_{100 + s}", 1)["spec"].shape[0] == 256
+    # the persist genuinely sharded over >1 file
+    import glob as _glob
+
+    assert len(_glob.glob(store + ".shard*")) >= 1
+
+
 def test_convert_ece_pickle(tmp_path):
     import pickle
 
