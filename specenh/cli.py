@@ -44,6 +44,13 @@ def cmd_build_data(args):
     cfg = _cfg_from_args(args)
     import glob as _glob
 
+    if not args.binary and args.writers != 1:
+        # same policy as cmd_sweep's stray-axis guard: a flag the selected
+        # path never reads is an error, not a silent no-op
+        raise SystemExit(
+            "--writers applies to the streaming (--binary) campaign; the "
+            "pickle path is the reference-parity synchronous loop"
+        )
     if args.binary:
         from specenh.pipeline import build_dataset_streaming
 
@@ -119,7 +126,12 @@ def cmd_train(args):
     os.makedirs(args.out_dir, exist_ok=True)
 
     store = SpectrogramStore(args.dataset, "r")
-    k_tiles = n_tiles_for(store.read_channel(store.shots()[0], store.channels_of(store.shots()[0])[0])["spec"].shape[-1], PatchSpec())
+    # metadata-only: spec_shape reads no data (the old read_channel here
+    # pulled 4 full datasets just for one shape)
+    _shot0 = store.shots()[0]
+    k_tiles = n_tiles_for(
+        store.spec_shape(_shot0, store.channels_of(_shot0)[0])[-1], PatchSpec()
+    )
 
     # Stream the epoch when the resident tile tensors would not fit on the
     # chip (the reference's 200-shot recipe is ~31 GB vs 16 GB v5e HBM;

@@ -79,10 +79,12 @@ def _read_slice_tiles(
     is exactly columns [i*W, (i+1)*W)); tiling the sliced columns with
     ``patch`` is bit-identical to slicing ``patch`` of the full record.
     """
-    grp = store._f[f"{s.shot}/chn_{s.chn}"]
-    c0, c1 = s.lo * ps.tile_time, s.hi * ps.tile_time
-    x = np.asarray(grp["spec"][:, c0:c1], dtype=np.float32)
-    y = np.asarray(grp["pipeline_out"][:, c0:c1], dtype=np.float32)
+    # read_column_slice goes through the store's shard-union resolution —
+    # a record living in a writer-pool sidecar (<path>.shardK) is found
+    # the same way iter_channels/spec_shape found it when planning
+    x, y = store.read_column_slice(
+        s.shot, s.chn, s.lo * ps.tile_time, s.hi * ps.tile_time
+    )
     xt = np.asarray(patch(x, ps), dtype=np.float32)[..., None]
     yt = np.asarray(patch(y, ps), dtype=np.float32)[..., None]
     return xt, yt

@@ -44,6 +44,25 @@ def _free_corrupt_name(path: str) -> str:
     return cand
 
 
+# h5py wraps every open failure in OSError; only ACTUAL file corruption may
+# trigger the append-mode quarantine.  Lock contention ("unable to lock
+# file", "file is already open"), permissions, or ENOSPC must propagate —
+# quarantining a healthy store because another process holds it would
+# silently restart the campaign from scratch (review round 3).
+_CORRUPT_MARKERS = (
+    "file signature not found",
+    "truncated file",
+    "bad superblock",
+    "unable to read superblock",
+    "bad object header",
+)
+
+
+def _is_corrupt_hdf5_error(e: OSError) -> bool:
+    msg = str(e).lower()
+    return any(m in msg for m in _CORRUPT_MARKERS)
+
+
 def retire_stale_manifest(store, manifest_path: str) -> None:
     """If ``store`` just quarantined a corrupt file, the manifest's "done"
     records describe data that no longer exists — move it next to the
@@ -81,8 +100,12 @@ class SpectrogramStore:
         self.quarantined: Optional[str] = None
         try:
             self._f = h5py.File(path, mode)
-        except OSError:
-            if mode != "a" or not os.path.exists(path):
+        except OSError as e:
+            if (
+                mode != "a"
+                or not os.path.exists(path)
+                or not _is_corrupt_hdf5_error(e)
+            ):
                 raise
             self.quarantined = _free_corrupt_name(path)
             os.replace(path, self.quarantined)
@@ -159,13 +182,14 @@ class SpectrogramStore:
     # -- reading (hyperparam_scan.py:130-141 access pattern) -----------------
 
     def shots(self) -> List[str]:
-        seen, out = set(), []
+        # name-sorted like a single h5py file iterates, so the union order
+        # is independent of HOW the data was sharded across writers —
+        # seeded shot sampling (plan_stream_split, assemble_from_store)
+        # must pick the same subset for --writers 1 and --writers 8
+        seen = set()
         for f in self._files():
-            for k in f.keys():
-                if k not in seen:
-                    seen.add(k)
-                    out.append(k)
-        return out
+            seen.update(f.keys())
+        return sorted(seen)
 
     def channels_of(self, shot_group: str) -> List[int]:
         grp = self._file_of(shot_group)[shot_group]
@@ -187,6 +211,19 @@ class SpectrogramStore:
         grp = self._file_of(name)[name]
         return {k: np.asarray(grp[k]) for k in ("spec", "f", "t", "pipeline_out")}
 
+    def read_column_slice(
+        self, shot_group: str, chn: int, c0: int, c1: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Columns [c0, c1) of one record's (spec, pipeline_out) as float32
+        — HDF5 reads only that slice (the streaming trainer's unit IO);
+        goes through the shard-union like every other accessor."""
+        name = f"{shot_group}/chn_{chn}"
+        grp = self._file_of(name)[name]
+        return (
+            np.asarray(grp["spec"][:, c0:c1], dtype=np.float32),
+            np.asarray(grp["pipeline_out"][:, c0:c1], dtype=np.float32),
+        )
+
     def read_spec_and_labels(
         self, shot_group: str, channels: Sequence[int]
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -199,14 +236,9 @@ class SpectrogramStore:
         return np.stack(specs), np.stack(labels)
 
     def iter_channels(self) -> Iterator[Tuple[str, int]]:
-        seen = set()
-        for f in self._files():
-            for shot in f:
-                if shot in seen:
-                    continue
-                seen.add(shot)
-                for chn_name in self._file_of(shot)[shot]:
-                    yield shot, int(chn_name.split("_")[1])
+        for shot in self.shots():  # name-sorted, layout-independent
+            for chn_name in self._file_of(shot)[shot]:
+                yield shot, int(chn_name.split("_")[1])
 
     def flush(self):
         self._f.flush()
@@ -247,6 +279,88 @@ class StoreWriterPool:
         self.stores = [SpectrogramStore(path)] + [
             SpectrogramStore(f"{path}.shard{k}") for k in range(1, writers)
         ]
+        self._owns_stores = True
+        self._qs: list = []
+        self._threads: list = []
+        self.errors: list = []
+
+    @classmethod
+    def from_stores(cls, stores) -> "StoreWriterPool":
+        """Wrap caller-owned store(s) in a pool (close() stays with the
+        caller) — lets single-store call sites share the writer-thread
+        machinery below."""
+        pool = cls.__new__(cls)
+        pool.path = stores[0].path
+        pool.writers = len(stores)
+        pool.stores = list(stores)
+        pool._owns_stores = False
+        pool._qs, pool._threads, pool.errors = [], [], []
+        return pool
+
+    # -- writer-thread runner -------------------------------------------------
+    #
+    # The shared scaffolding for write-bound daemons (serve.serve_once,
+    # pipeline.build_dataset_streaming): one thread per shard store, items
+    # routed by shard_of, bounded queues for backpressure.  ``handle(store,
+    # item)`` owns ALL per-item bookkeeping including its own per-item
+    # error handling (quarantine-and-continue).  If handle itself raises —
+    # e.g. even recording the failure failed on a full disk — the thread
+    # records the error and keeps DRAINING its queue (discarding items) so
+    # producers never block on a dead writer's full queue; join() reports.
+
+    def start(self, handle) -> None:
+        import queue
+        import threading
+
+        if self._threads:
+            raise RuntimeError("writer pool already started")
+        self.errors = []
+        self._qs = [queue.Queue(maxsize=2) for _ in self.stores]
+
+        def writer(own_store, q):
+            dead = False
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if dead:
+                    continue  # drain so submit() never blocks forever
+                try:
+                    handle(own_store, item)
+                except Exception as e:
+                    self.errors.append(e)
+                    dead = True
+
+        self._threads = [
+            threading.Thread(
+                target=writer, args=(s, q), name=f"store-writer-{k}",
+                daemon=True,
+            )
+            for k, (s, q) in enumerate(zip(self.stores, self._qs))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def submit(self, shot, item) -> None:
+        self._qs[self.shard_of(shot)].put(item)
+
+    def join(self) -> list:
+        """Retire the writer threads (finish in-flight work first); safe to
+        call twice.  Returns recorded catastrophic errors — caller decides
+        whether to raise (call it in a ``finally`` BEFORE the stores close,
+        then ``raise_if_failed()`` on the normal path)."""
+        for q in self._qs:
+            q.put(None)
+        for t in self._threads:
+            t.join()
+        self._qs, self._threads = [], []
+        return self.errors
+
+    def raise_if_failed(self) -> None:
+        if self.errors:
+            raise RuntimeError(
+                f"{len(self.errors)} writer thread(s) failed fatally"
+            ) from self.errors[0]
 
     @property
     def quarantined(self) -> Optional[str]:
@@ -267,8 +381,9 @@ class StoreWriterPool:
             s.flush()
 
     def close(self):
-        for s in self.stores:
-            s.close()
+        if self._owns_stores:
+            for s in self.stores:
+                s.close()
 
     def __enter__(self):
         return self

@@ -122,7 +122,6 @@ def build_dataset_streaming(
     :class:`specenh.io.store.StoreWriterPool`) — the persist stage is the
     measured host-side bottleneck once the device is fast, and HDF5
     serializes writers per file.  Readers see one union store."""
-    import queue
     import threading
 
     from specenh.io.native import NativePrefetcher
@@ -146,43 +145,33 @@ def build_dataset_streaming(
     skipped = len(bin_files) - len(pending)
     counts = {"done": 0, "failed": 0}
     io_lock = threading.Lock()  # manifest + counts + prints
-    qs = [queue.Queue(maxsize=2) for _ in pool.stores]
 
-    def writer(own_store, q):
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            shot, (specs, labels) = item
-            try:
-                # device -> host sync happens HERE, off the dispatch path
-                specs = np.asarray(specs)
-                labels = np.asarray(labels)
-                for i in range(specs.shape[0]):
-                    own_store.write_channel(
-                        shot, i + 1, specs[i], f_axis, t_axis, labels[i]
-                    )
-                own_store.flush()
-                with io_lock:
-                    manifest.mark_done(shot)
-                    counts["done"] += 1
-                    if verbose:
-                        print(f"shot {shot}: {specs.shape[0]} channels written")
-            except Exception as e:  # persist failure: quarantine, continue
-                with io_lock:
-                    manifest.mark_failed(shot, f"persist: {e}")
-                    counts["failed"] += 1
-                    if verbose:
-                        print(f"persist failed for {shot}: {e}")
+    def persist(own_store, item):
+        shot, (specs, labels) = item
+        try:
+            # device -> host sync happens HERE, off the dispatch path
+            specs = np.asarray(specs)
+            labels = np.asarray(labels)
+            for i in range(specs.shape[0]):
+                own_store.write_channel(
+                    shot, i + 1, specs[i], f_axis, t_axis, labels[i]
+                )
+            own_store.flush()
+            with io_lock:
+                manifest.mark_done(shot)
+                counts["done"] += 1
+                if verbose:
+                    print(f"shot {shot}: {specs.shape[0]} channels written")
+        except Exception as e:  # persist failure: quarantine, continue
+            # a failure while RECORDING the failure escapes to the pool's
+            # dead-writer drain (keeps the dispatch loop unblocked)
+            with io_lock:
+                manifest.mark_failed(shot, f"persist: {e}")
+                counts["failed"] += 1
+                if verbose:
+                    print(f"persist failed for {shot}: {e}")
 
-    wts = [
-        threading.Thread(
-            target=writer, args=(s, q), name=f"campaign-writer-{k}", daemon=True
-        )
-        for k, (s, q) in enumerate(zip(pool.stores, qs))
-    ]
-    for wt in wts:
-        wt.start()
+    pool.start(persist)
     with pool:
         try:
             with NativePrefetcher(
@@ -202,13 +191,11 @@ def build_dataset_streaming(
                         continue
                     shot = shot_number_from_path(pending[idx])
                     result = fn(jnp.asarray(traces))  # async dispatch
-                    qs[pool.shard_of(shot)].put((shot, result))
+                    pool.submit(shot, (shot, result))
         finally:
             # writers must retire BEFORE the pool's h5py files close
             # (same shutdown contract as serve.serve_once)
-            for q in qs:
-                q.put(None)
-            for wt in wts:
-                wt.join()
+            pool.join()
     manifest.close()
+    pool.raise_if_failed()
     return {"done": counts["done"], "skipped": skipped, "failed": counts["failed"]}

@@ -123,13 +123,12 @@ def serve_once(
     if not todo:
         return counts
 
-    if isinstance(store, StoreWriterPool):
-        stores, shard_of = store.stores, store.shard_of
-    else:
-        stores, shard_of = [store], lambda shot: 0
+    pool = (
+        store if isinstance(store, StoreWriterPool)
+        else StoreWriterPool.from_stores([store])
+    )
 
     q_in: "queue.Queue" = queue.Queue(maxsize=2)
-    q_outs = [queue.Queue(maxsize=2) for _ in stores]
     stop = threading.Event()
     io_lock = threading.Lock()  # manifest + metrics + counts + prints
 
@@ -147,61 +146,53 @@ def serve_once(
                 q_in.put(("err", shot, t0, time.perf_counter() - t0, e))
         q_in.put(None)
 
-    def writer(own_store, q_out):
-        while True:
-            item = q_out.get()
-            if item is None:
-                return
-            kind, shot, t0, read_s, payload = item
-            try:
-                if kind == "err":
-                    with io_lock:
-                        manifest.mark_failed(shot, str(payload))
-                        counts["failed"] += 1
-                        if verbose:
-                            print(f"quarantined {shot}: {payload}")
-                    continue
-                specs, enhanced = payload
-                # device -> host sync happens HERE, off the dispatch path
-                specs, enhanced = np.asarray(specs), np.asarray(enhanced)
-                for i in range(specs.shape[0]):
-                    own_store.write_channel(
-                        shot, i + 1, specs[i], service._f, service._t,
-                        enhanced[i], prefix="enhanced",
-                    )
-                own_store.flush()
-                latency = time.perf_counter() - t0
+    def persist(own_store, item):
+        kind, shot, t0, read_s, payload = item
+        try:
+            if kind == "err":
                 with io_lock:
-                    manifest.mark_done(shot)
-                    counts["done"] += 1
-                    if metrics:
-                        metrics.log(
-                            "shot_enhanced", shot=shot,
-                            channels=int(specs.shape[0]),
-                            latency_s=latency, read_s=read_s,
-                        )
-                    if verbose:
-                        print(
-                            f"shot {shot}: {specs.shape[0]} channels "
-                            f"in {latency:.2f}s"
-                        )
-            except Exception as e:  # persist failure: quarantine, keep serving
-                with io_lock:
-                    manifest.mark_failed(shot, f"persist: {e}")
+                    manifest.mark_failed(shot, str(payload))
                     counts["failed"] += 1
                     if verbose:
-                        print(f"persist failed for {shot}: {e}")
+                        print(f"quarantined {shot}: {payload}")
+                return
+            specs, enhanced = payload
+            # device -> host sync happens HERE, off the dispatch path
+            specs, enhanced = np.asarray(specs), np.asarray(enhanced)
+            for i in range(specs.shape[0]):
+                own_store.write_channel(
+                    shot, i + 1, specs[i], service._f, service._t,
+                    enhanced[i], prefix="enhanced",
+                )
+            own_store.flush()
+            latency = time.perf_counter() - t0
+            with io_lock:
+                manifest.mark_done(shot)
+                counts["done"] += 1
+                if metrics:
+                    metrics.log(
+                        "shot_enhanced", shot=shot,
+                        channels=int(specs.shape[0]),
+                        latency_s=latency, read_s=read_s,
+                    )
+                if verbose:
+                    print(
+                        f"shot {shot}: {specs.shape[0]} channels "
+                        f"in {latency:.2f}s"
+                    )
+        except Exception as e:  # persist failure: quarantine, keep serving
+            # if even RECORDING the failure fails (disk full), let it
+            # escape — the pool's dead-writer drain keeps the pipeline
+            # unblocked and join()/raise_if_failed reports it
+            with io_lock:
+                manifest.mark_failed(shot, f"persist: {e}")
+                counts["failed"] += 1
+                if verbose:
+                    print(f"persist failed for {shot}: {e}")
 
     rt = threading.Thread(target=reader, name="serve-reader", daemon=True)
-    wts = [
-        threading.Thread(
-            target=writer, args=(s, q), name=f"serve-writer-{k}", daemon=True
-        )
-        for k, (s, q) in enumerate(zip(stores, q_outs))
-    ]
     rt.start()
-    for wt in wts:
-        wt.start()
+    pool.start(persist)
     t_start = time.perf_counter()
     try:
         while True:
@@ -210,10 +201,10 @@ def serve_once(
                 break
             kind, shot, t0, read_s, payload = item
             if kind == "err":
-                q_outs[shard_of(shot)].put((kind, shot, t0, read_s, payload))
+                pool.submit(shot, (kind, shot, t0, read_s, payload))
                 continue
             result = service.fn(service.params, payload)  # async dispatch
-            q_outs[shard_of(shot)].put(("ok", shot, t0, read_s, result))
+            pool.submit(shot, ("ok", shot, t0, read_s, result))
     finally:
         # Shutdown MUST complete before serve_once returns or raises:
         # the caller's `with SpectrogramStore(...)` closes the h5py files
@@ -221,10 +212,7 @@ def serve_once(
         # KeyboardInterrupt) escaping with threads still live would have
         # a writer persisting into a closed store.  Finish the writers'
         # in-flight work, then unwedge and retire the reader.
-        for q_out in q_outs:
-            q_out.put(None)
-        for wt in wts:
-            wt.join()
+        pool.join()
         stop.set()
         while rt.is_alive():  # drain q_in so a blocked reader put returns
             try:
@@ -232,11 +220,12 @@ def serve_once(
             except queue.Empty:
                 time.sleep(0.005)
         rt.join()
+    pool.raise_if_failed()
     elapsed = time.perf_counter() - t_start
     if metrics:
         metrics.log(
             "serve_batch", done=counts["done"], failed=counts["failed"],
-            seconds=elapsed, writers=len(stores),
+            seconds=elapsed, writers=pool.writers,
             shots_per_sec=(counts["done"] / elapsed) if elapsed > 0 else 0.0,
         )
     return counts

@@ -177,6 +177,14 @@ def test_sweep_stray_axis_flag_errors(workspace, capfd):
               "--num-shots", "2", "--quiet"])
 
 
+def test_build_data_writers_without_binary_errors(workspace):
+    """--writers on the non-streaming (pickle) path must error up front,
+    not silently run single-writer (same policy as sweep's stray axes)."""
+    with pytest.raises(SystemExit, match="--writers.*--binary"):
+        main(["build-data", "--data-dir", str(workspace),
+              "--out", str(workspace / "d.hdf5"), "--writers", "4"])
+
+
 def test_train_stream_devices_warns_and_runs(workspace, capfd):
     """--stream always + --devices N: streaming is single-chip, so the CLI
     must say --devices is ignored rather than silently dropping it."""

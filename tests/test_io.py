@@ -181,6 +181,125 @@ def test_sharded_store_duplicate_resolves_to_most_complete(tmp_path):
         np.testing.assert_array_equal(store.read_channel("ece_7", 1)["spec"], a + 9)
 
 
+def test_quarantine_only_on_corruption(tmp_path, monkeypatch):
+    """Append-mode quarantine must fire ONLY for actual HDF5 corruption;
+    lock contention / permission errors propagate untouched — renaming a
+    healthy multi-GB store because another process holds it would restart
+    the whole campaign (review round 3)."""
+    import h5py
+
+    from specenh.io.store import _is_corrupt_hdf5_error
+
+    assert _is_corrupt_hdf5_error(OSError("… (truncated file: eof = 96 …)"))
+    assert _is_corrupt_hdf5_error(OSError("… (file signature not found)"))
+    assert not _is_corrupt_hdf5_error(
+        OSError("Unable to synchronously open file (unable to lock file, "
+                "errno = 11, error message = 'Resource temporarily unavailable')")
+    )
+    assert not _is_corrupt_hdf5_error(OSError("No space left on device"))
+
+    path = str(tmp_path / "locked.hdf5")
+    a = np.zeros((4, 4))
+    with SpectrogramStore(path) as st:
+        st.write_channel("1", 1, a, a[0], a[0], a)
+    real_file = h5py.File
+
+    def locked_open(p, mode, *args, **kw):
+        raise BlockingIOError(
+            11, "unable to lock file, errno = 11, error message = "
+            "'Resource temporarily unavailable'"
+        )
+
+    monkeypatch.setattr(h5py, "File", locked_open)
+    with pytest.raises(OSError, match="lock"):
+        SpectrogramStore(path)
+    monkeypatch.setattr(h5py, "File", real_file)
+    assert not os.path.exists(path + ".corrupt")  # store left alone
+    with SpectrogramStore(path, "r") as st:
+        assert st.shots() == ["ece_1"]
+
+
+def test_sharded_store_order_is_layout_independent(tmp_path):
+    """shots() must come back name-sorted regardless of which shard holds
+    which shot — seeded shot sampling (plan_stream_split) has to pick the
+    same subset for --writers 1 and --writers 8."""
+    a = np.zeros((4, 4), np.float32)
+    p1 = str(tmp_path / "one.hdf5")
+    with SpectrogramStore(p1) as st:
+        for s in ("104", "101", "103", "102"):
+            st.write_channel(s, 1, a, a[0], a[0], a)
+    p2 = str(tmp_path / "many.hdf5")
+    with SpectrogramStore(p2) as st:  # later shots land in the BASE here
+        for s in ("104", "103"):
+            st.write_channel(s, 1, a, a[0], a[0], a)
+    with SpectrogramStore(p2 + ".shard1") as st:
+        for s in ("101", "102"):
+            st.write_channel(s, 1, a, a[0], a[0], a)
+    with SpectrogramStore(p1, "r") as s1, SpectrogramStore(p2, "r") as s2:
+        assert s1.shots() == s2.shots() == [f"ece_{k}" for k in (101, 102, 103, 104)]
+        assert list(s1.iter_channels()) == list(s2.iter_channels())
+
+
+def test_writer_pool_dead_writer_keeps_draining(tmp_path):
+    """If a writer's handle raises (e.g. recording a failure failed on a
+    full disk), the thread must DRAIN its queue instead of dying with a
+    full queue that deadlocks every later submit; join reports errors."""
+    from specenh.io.store import StoreWriterPool
+
+    pool = StoreWriterPool(str(tmp_path / "p.hdf5"), writers=1)
+    hits = []
+
+    def bad_handle(store, item):
+        hits.append(item)
+        raise RuntimeError("disk on fire")
+
+    pool.start(bad_handle)
+    for i in range(8):  # queue maxsize is 2 — would deadlock without drain
+        pool.submit("1", i)
+    errs = pool.join()
+    assert len(errs) == 1 and "disk on fire" in str(errs[0])
+    assert hits == [0]  # died on the first item, drained the rest
+    with pytest.raises(RuntimeError, match="writer thread"):
+        pool.raise_if_failed()
+    # restartable after the error is handled
+    ok = []
+    pool.start(lambda st, item: ok.append(item))
+    pool.submit("1", "x")
+    assert pool.join() == []
+    pool.raise_if_failed()
+    assert ok == ["x"]
+    pool.close()
+
+
+def test_streaming_tiles_read_through_shard_union(tmp_path):
+    """The streamed-training record reader must resolve records living in
+    writer-pool sidecars (it used to read store._f directly and would
+    KeyError on any sharded store — review round 3)."""
+    from specenh.data.grain_pipeline import (
+        PatchSpec,
+        RecordSlice,
+        _read_slice_tiles,
+        channel_records,
+    )
+
+    rng = np.random.default_rng(0)
+    spec = rng.standard_normal((8, 16)).astype(np.float32)
+    lab = rng.standard_normal((8, 16)).astype(np.float32)
+    f = np.arange(8.0)
+    t = np.arange(16.0)
+    path = str(tmp_path / "ds.hdf5")
+    with SpectrogramStore(path) as st:
+        st.write_channel("100", 1, spec, f, t, lab)
+    with SpectrogramStore(path + ".shard1") as st:
+        st.write_channel("101", 1, spec + 5, f, t, lab + 5)
+    ps = PatchSpec(tile_freq=8, tile_time=4, step=4)
+    with SpectrogramStore(path, "r") as st:
+        assert channel_records(st) == [("ece_100", 1), ("ece_101", 1)]
+        x, y = _read_slice_tiles(st, RecordSlice("ece_101", 1, 1, 3), ps)
+        np.testing.assert_allclose(x[0, :, :, 0], spec[:, 4:8] + 5)
+        np.testing.assert_allclose(y[1, :, :, 0], lab[:, 8:12] + 5)
+
+
 def test_manifest_resume(tmp_path):
     p = str(tmp_path / "m.jsonl")
     m = CampaignManifest(p)
