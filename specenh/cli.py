@@ -76,6 +76,16 @@ def cmd_build_data(args):
     print(json.dumps(summary))
 
 
+def cmd_merge_shards(args):
+    """Fold a writer-pool store's sidecar shards into one HDF5 file."""
+    from specenh.io.store import consolidate_shards
+
+    n = consolidate_shards(
+        args.store, out_path=args.out, remove=not args.keep_shards
+    )
+    print(json.dumps({"channels_merged": n, "out": args.out or args.store}))
+
+
 def cmd_convert_bin(args):
     """pickle shots -> SPEC binary (native streaming fast path)."""
     import glob as _glob
@@ -751,6 +761,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(--binary) path; readers see one union store")
     b.add_argument("--quiet", action="store_true")
     b.set_defaults(fn=cmd_build_data)
+
+    ms = sub.add_parser(
+        "merge-shards",
+        help="fold a writer-pool store (base + .shardK) into one HDF5 file",
+    )
+    ms.add_argument("--store", required=True, help="base store path")
+    ms.add_argument("--out", default=None,
+                    help="write the merged copy here instead of "
+                         "consolidating in place")
+    ms.add_argument("--keep-shards", action="store_true",
+                    help="leave absorbed sidecars on disk (in-place mode)")
+    ms.set_defaults(fn=cmd_merge_shards)
 
     cb = sub.add_parser("convert-bin", help="pickle shots -> SPEC binaries")
     cb.add_argument("--data-dir", required=True)

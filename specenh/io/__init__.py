@@ -12,4 +12,5 @@ from specenh.io.store import (  # noqa: F401
     CampaignManifest,
     SpectrogramStore,
     StoreWriterPool,
+    consolidate_shards,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "SpectrogramStore",
     "StoreWriterPool",
     "CampaignManifest",
+    "consolidate_shards",
     "retire_stale_manifest",
 ]
 
@@ -390,6 +391,43 @@ class StoreWriterPool:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def consolidate_shards(
+    path: str, out_path: Optional[str] = None, remove: bool = True
+) -> int:
+    """Fold a writer-pool store (base + ``<path>.shardK`` sidecars) into
+    ONE HDF5 file, resolving duplicate shot groups exactly like the union
+    read view (most-complete copy wins).  ``out_path=None`` consolidates
+    into the base file and (with ``remove``) deletes the absorbed
+    sidecars; with ``out_path`` the originals are left untouched.
+    Idempotent.  Returns channels copied."""
+    import h5py
+
+    union = SpectrogramStore(path, "r")
+    try:
+        plan = [
+            (shot, union._file_of(shot).filename) for shot in union.shots()
+        ]
+        shard_paths = [f.filename for f in union._shards]
+    finally:
+        union.close()
+
+    dest = path if out_path is None else out_path
+    n = 0
+    with h5py.File(dest, "a") as out:
+        for shot, src_path in plan:
+            if os.path.samefile(src_path, dest):
+                continue  # already lives in the destination
+            with h5py.File(src_path, "r") as src:
+                if shot in out:
+                    del out[shot]
+                src.copy(shot, out, name=shot)
+                n += len(out[shot])
+    if remove and out_path is None:
+        for p in shard_paths:
+            os.remove(p)
+    return n
 
 
 class CampaignManifest:

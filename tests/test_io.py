@@ -181,6 +181,41 @@ def test_sharded_store_duplicate_resolves_to_most_complete(tmp_path):
         np.testing.assert_array_equal(store.read_channel("ece_7", 1)["spec"], a + 9)
 
 
+def test_consolidate_shards(tmp_path):
+    """merge-shards: fold base + sidecars into one file with the union
+    view's duplicate resolution; in-place mode absorbs and removes the
+    sidecars, --out mode leaves originals untouched."""
+    from specenh.io.store import StoreWriterPool, consolidate_shards
+
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    path = str(tmp_path / "d.hdf5")
+    with StoreWriterPool(path, writers=3) as pool:
+        for shot in ("100", "101", "102", "103"):
+            pool.stores[pool.shard_of(shot)].write_channel(
+                shot, 1, a + int(shot), a[0], a[0], a
+            )
+    # merged copy first (originals untouched)
+    out = str(tmp_path / "merged.hdf5")
+    n = consolidate_shards(path, out_path=out)
+    assert os.path.exists(path + ".shard1")  # originals kept
+    with SpectrogramStore(out, "r") as st:
+        assert st._shards == []
+        assert st.shots() == [f"ece_{s}" for s in (100, 101, 102, 103)]
+        np.testing.assert_array_equal(
+            st.read_channel("ece_103", 1)["spec"], a + 103
+        )
+    # in-place consolidation absorbs + removes sidecars; idempotent
+    n2 = consolidate_shards(path)
+    assert n2 > 0
+    import glob as _glob
+
+    assert _glob.glob(path + ".shard*") == []
+    with SpectrogramStore(path, "r") as st:
+        assert st._shards == []
+        assert st.shots() == [f"ece_{s}" for s in (100, 101, 102, 103)]
+    assert consolidate_shards(path) == 0  # nothing left to fold
+
+
 def test_quarantine_only_on_corruption(tmp_path, monkeypatch):
     """Append-mode quarantine must fire ONLY for actual HDF5 corruption;
     lock contention / permission errors propagate untouched — renaming a
