@@ -478,25 +478,25 @@ def cmd_sweep(args):
         splits = assemble_from_store(
             store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
         ).reshaped()
+    engine = getattr(args, "engine", "envelope")
     mesh = None
     if getattr(args, "devices", 0) and args.devices > 1:
         from specenh.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.devices, ("sweep",))
+        # the envelope engine shards the CONFIG axis over the mesh (the
+        # SLURM-array analog); the serial kernel engine trains configs
+        # sequentially, each DATA-parallel over the same chips
+        mesh = make_mesh(args.devices,
+                         ("data",) if engine == "kernel" else ("sweep",))
     ckpt_dir = os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
-    if getattr(args, "engine", "envelope") == "kernel":
+    if engine == "kernel":
         from specenh.sweep import sweep_fit_serial
 
-        if mesh is not None:
-            raise SystemExit(
-                "--engine kernel is a single-chip serial sweep; use the "
-                "envelope engine with --devices for multi-chip grids"
-            )
         res = sweep_fit_serial(
             configs, splits.x_train, splits.y_train, splits.x_tune,
             splits.y_tune, train_cfg, epochs=args.epochs,
             dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
-            checkpoint_dir=ckpt_dir, resume=args.resume,
+            checkpoint_dir=ckpt_dir, resume=args.resume, mesh=mesh,
             verbose=not args.quiet,
         )
     else:
@@ -861,17 +861,18 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--num-shots", type=int, default=20)
     w.add_argument("--seed", type=int, default=0)
     w.add_argument("--devices", type=int, default=0,
-                   help="shard the config axis over N devices (the "
-                        "SLURM-array analog on a 'sweep' mesh)")
+                   help="envelope engine: shard the CONFIG axis over N "
+                        "devices (the SLURM-array analog on a 'sweep' "
+                        "mesh); kernel engine: train each config "
+                        "DATA-parallel over N devices")
     w.add_argument("--bf16", action="store_true",
                    help="bfloat16-activation sweep training (1.5x epochs)")
     w.add_argument("--engine", choices=["envelope", "kernel"],
                    default="envelope",
                    help="envelope: all configs vmapped at the largest "
-                        "geometry's cost (multi-chip capable); kernel: "
-                        "serial per-config fits on the fused Pallas "
-                        "training kernels (measured 3.3x on the k3/k5/k7 "
-                        "grid, single-chip)")
+                        "geometry's cost; kernel: serial per-config fits "
+                        "on the fused Pallas training kernels (measured "
+                        "3.3x on the k3/k5/k7 grid)")
     w.add_argument("--no-time-configs", action="store_true",
                    help="skip the per-config pred_times measurement")
     w.add_argument("--checkpoints", action="store_true",

@@ -513,6 +513,7 @@ def sweep_fit_serial(
     resume: bool = False,
     interpret: Optional[bool] = None,
     engine: str = "kernel",
+    mesh=None,
     verbose: bool = False,
 ) -> SweepResult:
     """Serial per-config sweep on the fused Pallas TRAINING kernels.
@@ -530,8 +531,15 @@ def sweep_fit_serial(
     envelope 5.67 s/epoch vs serial-kernel 0.28+0.58+0.86 = 1.72 — 3.3x
     steady-state (per-config compiles amortize over the reference's
     15-100 epochs; on hosts with a working persistent compile cache they
-    are one-time).  Single-chip; use ``sweep_fit(mesh=...)`` to shard a
-    grid over devices.
+    are one-time).
+
+    Multi-chip: ``mesh`` (a ``('data',)`` mesh) trains each config
+    DATA-parallel — the per-config fit routes through ``dp_fit`` with the
+    shard_map'd kernel epoch (``parallel.dp_kernel``) where the geometry
+    supports it.  This is the complement of ``sweep_fit(mesh=...)``, which
+    shards the CONFIG axis ('sweep') and trains the whole grid at the
+    envelope geometry's cost: shard configs when the grid is wide, shard
+    data when per-config speed (or per-config HBM) is what binds.
 
     Parity: initial params are the SAME per-config glorot draws as the
     envelope (init_stacked_params), every config replays the same shuffle
@@ -564,25 +572,47 @@ def sweep_fit_serial(
         )
         epoch_fn = None
         if engine == "kernel" and (_supports2(cfg) or _supports3(cfg)):
-            epoch_fn = kernel_epoch_for(cfg, train_cfg, interpret=interpret,
-                                        dtype=dtype)
-        state, hist = fit(
-            state, x_train, y_train, x_val, y_val, cfg=train_cfg,
-            epochs=epochs, epoch_fn=epoch_fn,
-            checkpoint_dir=(
-                os.path.join(checkpoint_dir, f"cfg_{ci:03d}")
-                if checkpoint_dir else None
-            ),
-            resume=resume, verbose=verbose,
-        )
+            if mesh is not None:
+                from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+                # interpret == CPU harness: f32 dots (XLA:CPU rejects bf16
+                # DotThunks at tiny per-device batches — see cli.cmd_train)
+                epoch_fn = dp_kernel_epoch_for(
+                    cfg, train_cfg, mesh, interpret=interpret,
+                    dtype=jnp.float32 if interpret else dtype,
+                )
+            else:
+                epoch_fn = kernel_epoch_for(cfg, train_cfg,
+                                            interpret=interpret, dtype=dtype)
+        ckpt_i = (os.path.join(checkpoint_dir, f"cfg_{ci:03d}")
+                  if checkpoint_dir else None)
+        if mesh is not None:
+            from specenh.parallel.data_parallel import dp_fit
+
+            state, hist = dp_fit(
+                state, x_train, y_train, mesh, x_val, y_val,
+                epochs=epochs, batch_size=train_cfg.batch_size,
+                seed=train_cfg.seed, epoch_fn=epoch_fn,
+                checkpoint_dir=ckpt_i, resume=resume, verbose=verbose,
+            )
+        else:
+            state, hist = fit(
+                state, x_train, y_train, x_val, y_val, cfg=train_cfg,
+                epochs=epochs, epoch_fn=epoch_fn,
+                checkpoint_dir=ckpt_i, resume=resume, verbose=verbose,
+            )
         if verbose:
             print(f"config {ci + 1}/{len(configs)} "
                   f"({'kernel' if epoch_fn else 'flax'}) "
                   f"val={hist['val_loss'][-1]:.5f}")
         tr_hist.append(hist["loss"])
         va_hist.append(hist["val_loss"])
-        finals.append(state.params)
-        stacked = embed_config_params(stacked, ci, cfg, env, state.params)
+        # mesh-replicated params come back to host before the embed — the
+        # stacked envelope lives on the default device, not the mesh
+        params = jax.device_get(state.params) if mesh is not None \
+            else state.params
+        finals.append(params)
+        stacked = embed_config_params(stacked, ci, cfg, env, params)
     val_losses = np.asarray([h[-1] for h in va_hist])
     best = int(np.argmin(val_losses))
     return SweepResult(

@@ -322,3 +322,64 @@ def test_sweep_resume_guards_grid_change(tmp_path):
     with pytest.raises(ValueError, match="run parameters changed"):
         sweep_fit(list(reversed(cfgs)), x[:24], y[:24], x[24:], y[24:], tc,
                   epochs=2, checkpoint_dir=ck, resume=True)
+
+
+def test_serial_sweep_over_data_mesh():
+    """sweep_fit_serial(mesh=('data',)) — each config trains data-parallel
+    through dp_fit (Flax fallback at this tiny geometry): histories match
+    the single-device serial sweep."""
+    from specenh.parallel.mesh import make_mesh
+    from specenh.sweep import sweep_fit_serial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), out_kernel=(3, 3), input_shape=SMALL),
+        ModelConfig(filters=(8, 8), kernels=((5, 5), (5, 5)), out_kernel=(5, 5), input_shape=SMALL),
+    ]
+    x, y = _data(24)
+    xv, yv = _data(8, seed=1)
+    tc = TrainConfig(batch_size=8, seed=0)
+    res_1 = sweep_fit_serial(cfgs, x, y, xv, yv, tc, epochs=2)
+    res_m = sweep_fit_serial(cfgs, x, y, xv, yv, tc, epochs=2,
+                             mesh=make_mesh(8, ("data",)))
+    np.testing.assert_allclose(res_m.train_history, res_1.train_history,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res_m.val_history, res_1.val_history,
+                               rtol=1e-3, atol=1e-5)
+    assert res_m.best_index == res_1.best_index
+    # final params round-trip the envelope embed identically
+    for i, cfg in enumerate(cfgs):
+        a = extract_config_params(res_m.stacked_params, i, cfg, res_m.env)
+        b = extract_config_params(res_1.stacked_params, i, cfg, res_1.env)
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-3, atol=1e-5)
+
+
+def test_serial_sweep_kernel_engine_over_mesh():
+    """The `sweep --engine kernel --devices N` path: the per-config fit
+    runs the shard_map'd fused train kernel (parallel.dp_kernel) under
+    dp_fit — losses match the single-device serial kernel sweep."""
+    from specenh.parallel.mesh import make_mesh
+    from specenh.sweep import sweep_fit_serial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfgs = [ModelConfig()]  # flagship geometry: fused-kernel-covered
+    rng = np.random.default_rng(7)
+    n = 12  # bs=8 over 8 devices: batch 2 = 4 real + 4 padding tiles
+    x = rng.random((n, 256, 128, 1)).astype(np.float32)
+    y = (rng.random((n, 256, 128, 1)) > 0.6).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=0)
+    # interpret-mode kernels: force f32 both sides so the comparison is
+    # engine-for-engine (the mesh path's CPU shim already picks f32)
+    res_1 = sweep_fit_serial(cfgs, x, y, x[:4], y[:4], tc, epochs=1,
+                             dtype=jnp.float32)
+    res_m = sweep_fit_serial(cfgs, x, y, x[:4], y[:4], tc, epochs=1,
+                             dtype=jnp.float32, mesh=make_mesh(8, ("data",)))
+    np.testing.assert_allclose(res_m.train_history, res_1.train_history,
+                               rtol=1e-4)
+    np.testing.assert_allclose(res_m.val_history, res_1.val_history,
+                               rtol=1e-4)
