@@ -162,6 +162,7 @@ def cmd_train(args):
         args.stream == "auto" and estimate_resident_bytes(n_total) > budget
     )
     devices = getattr(args, "devices", 0) or 0
+    stream_mesh = None
     if use_stream and devices > 1:
         if (args.stream == "auto"
                 and estimate_resident_bytes(n_total) / devices <= budget):
@@ -173,10 +174,13 @@ def cmd_train(args):
                 print(f"dataset fits sharded over {devices} devices; "
                       "using dp_fit instead of streaming")
         else:
-            print(f"WARNING: streaming engaged and fit_streaming is "
-                  f"single-chip — --devices {devices} is ignored "
-                  "(raise SPECENH_HBM_BUDGET_GB to force the sharded "
-                  "resident path)")
+            # too big even for the mesh's aggregate HBM: stream chunks
+            # AND shard each one over the 'data' mesh
+            from specenh.parallel.mesh import make_mesh
+
+            stream_mesh = make_mesh(devices, ("data",))
+            if not args.quiet:
+                print(f"streaming chunks sharded over {devices} devices")
 
     engine = getattr(args, "engine", None) or (
         "bf16" if getattr(args, "bf16", False) else "f32"
@@ -201,11 +205,21 @@ def cmd_train(args):
         # interpret mode keeps the CLI usable on CPU (tests); real chips
         # run the compiled kernel.  devices > 1 routes through the
         # shard_map'd data-parallel kernel engine instead (built in the
-        # dp branch below — it needs the mesh).
-        if not (devices > 1 and not use_stream):
+        # dp branch below — it needs the mesh; for a sharded STREAM the
+        # mesh already exists here).
+        on_cpu = jax.default_backend() == "cpu"
+        if stream_mesh is not None:
+            from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+            epoch_fn = dp_kernel_epoch_for(
+                model_cfg, train_cfg, stream_mesh,
+                interpret=on_cpu,
+                dtype=jnp.float32 if on_cpu else None,
+            )
+        elif not (devices > 1 and not use_stream):
             epoch_fn = kernel_epoch_for(
                 model_cfg, train_cfg,
-                interpret=jax.default_backend() == "cpu",
+                interpret=on_cpu,
             )
     fit_common = dict(
         metrics_path=os.path.join(args.out_dir, "metrics.jsonl"),
@@ -228,7 +242,8 @@ def cmd_train(args):
                   else "streaming (forced)")
         with trace_cm:
             state, hist = fit_streaming(state, store, plan, train_cfg,
-                                        epoch_fn=epoch_fn, **fit_common)
+                                        epoch_fn=epoch_fn, mesh=stream_mesh,
+                                        **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns);
         # an empty test split (tiny datasets: int(n*0.85) == n) just skips

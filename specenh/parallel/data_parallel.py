@@ -23,7 +23,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from specenh.train import TrainState, bce_from_logits
 
-__all__ = ["shard_batch", "make_dp_train_step", "make_dp_eval_step", "dp_fit"]
+__all__ = [
+    "shard_batch",
+    "make_dp_train_step",
+    "make_dp_eval_step",
+    "make_dp_epoch_programs",
+    "dp_fit",
+]
 
 
 def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
@@ -72,6 +78,50 @@ def make_dp_eval_step(mesh: Mesh, axis: str = "data"):
         return bce_from_logits(logits, y, mask)
 
     return step
+
+
+def make_dp_epoch_programs(mesh: Mesh, axis: str = "data"):
+    """The SPMD epoch programs shared by ``dp_fit`` and
+    ``train_stream.fit_streaming(mesh=...)``: one ``lax.scan`` over the
+    epoch's batch-index/mask arrays, dataset sharded over ``axis``, state
+    replicated.  Each scanned batch gather ``x[idx]`` runs on the sharded
+    operand and carries a ``with_sharding_constraint`` back onto ``axis``,
+    so the partitioner keeps batches distributed and inserts the gradient
+    psum.  Returns ``(train_epoch, eval_epoch)`` with ``train.train_epoch``
+    /``eval_epoch``'s exact call contract."""
+    from specenh.train import bce_from_logits
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    def batch_loss(params, apply_fn, xb, yb, wb):
+        xb = jax.lax.with_sharding_constraint(xb, data)
+        yb = jax.lax.with_sharding_constraint(yb, data)
+        wb = jax.lax.with_sharding_constraint(wb, data)
+        return bce_from_logits(apply_fn(params, xb, logits=True), yb, wb)
+
+    @partial(jax.jit, out_shardings=(repl, repl), donate_argnums=(0,))
+    def train_epoch(st, xs, ys, batch_idx, batch_mask):
+        def body(st, args):
+            idx, w = args
+
+            def loss_fn(params):
+                return batch_loss(params, st.apply_fn, xs[idx], ys[idx], w)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        return jax.lax.scan(body, st, (batch_idx, batch_mask))
+
+    @partial(jax.jit, out_shardings=repl)
+    def eval_epoch(st, xs, ys, batch_idx, batch_mask):
+        def body(_, args):
+            idx, w = args
+            return 0, batch_loss(st.params, st.apply_fn, xs[idx], ys[idx], w)
+
+        return jax.lax.scan(body, 0, (batch_idx, batch_mask))[1]
+
+    return train_epoch, eval_epoch
 
 
 def _put_sharded(a, sharding, n_dev: int):
@@ -204,39 +254,10 @@ def dp_fit(
 
     state = jax.device_put(state, repl)
 
-    def batch_loss(params, apply_fn, xb, yb, wb):
-        xb = jax.lax.with_sharding_constraint(xb, data)
-        yb = jax.lax.with_sharding_constraint(yb, data)
-        wb = jax.lax.with_sharding_constraint(wb, data)
-        return bce_from_logits(apply_fn(params, xb, logits=True), yb, wb)
-
-    if epoch_fn is None:
-
-        @partial(jax.jit, out_shardings=(repl, repl), donate_argnums=(0,))
-        def train_epoch(st, xs, ys, batch_idx, batch_mask):
-            def body(st, args):
-                idx, w = args
-
-                def loss_fn(params):
-                    return batch_loss(params, st.apply_fn, xs[idx], ys[idx], w)
-
-                loss, grads = jax.value_and_grad(loss_fn)(st.params)
-                return st.apply_gradients(grads=grads), loss
-
-            return jax.lax.scan(body, st, (batch_idx, batch_mask))
-
-    else:
-        # swapped engine (same contract as train.fit's epoch_fn) — e.g.
-        # parallel.dp_kernel.dp_kernel_epoch_for's shard_map'd fused kernel
-        train_epoch = epoch_fn
-
-    @partial(jax.jit, out_shardings=repl)
-    def eval_epoch(st, xs, ys, batch_idx, batch_mask):
-        def body(_, args):
-            idx, w = args
-            return 0, batch_loss(st.params, st.apply_fn, xs[idx], ys[idx], w)
-
-        return jax.lax.scan(body, 0, (batch_idx, batch_mask))[1]
+    # epoch_fn: swapped engine (same contract as train.fit's epoch_fn) —
+    # e.g. parallel.dp_kernel.dp_kernel_epoch_for's shard_map'd fused kernel
+    dp_train, eval_epoch = make_dp_epoch_programs(mesh)
+    train_epoch = epoch_fn if epoch_fn is not None else dp_train
 
     # n_val (not len(x_val)): the device copy may carry shard-padding rows
     val_batches = _epoch_batches(n_val, bs, np.arange(n_val)) if have_val else None

@@ -22,9 +22,13 @@ Shuffle semantics: a global tile permutation needs full residency, so the
 stream shuffles hierarchically — record order per epoch + tile order within
 each chunk (the grain/tf.data shuffle-window trade).  With
 ``chunk_tiles >= n`` and ``shuffle=False`` the trajectory is IDENTICAL to
-``train.fit``'s (tested to 1e-6); the multi-chip alternative that preserves
-exact ``fit`` semantics is ``parallel.data_parallel.dp_fit``, which shards
-the resident dataset over the mesh instead of streaming it.
+``train.fit``'s (tested to 1e-6).
+
+Multi-chip composes two ways: ``parallel.data_parallel.dp_fit`` shards the
+RESIDENT dataset over the mesh (exact ``fit`` semantics, bounded by the
+mesh's aggregate HBM), and ``fit_streaming(mesh=...)`` shards each STREAMED
+chunk over the mesh (unbounded dataset size; the chunk programs are the
+same SPMD epochs, ``make_dp_epoch_programs``).
 """
 
 from __future__ import annotations
@@ -192,6 +196,7 @@ def fit_streaming(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     epoch_fn=None,
+    mesh=None,
     verbose: bool = False,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent over a streamed store.  Returns
@@ -201,12 +206,31 @@ def fit_streaming(
     ``chunk_tiles`` bounds device residency: ~2 chunks of (x, y) in flight
     (default 4096 tiles ~= 1.1 GB total).  It is rounded up to a batch
     multiple so every full chunk reuses one compiled scan program.
-    """
+
+    ``mesh`` (a ``('data',)`` mesh) streams MULTI-CHIP: each chunk is
+    zero-padded to the device count and sharded over 'data', the scanned
+    chunk program is the SPMD epoch (``make_dp_epoch_programs`` — batch
+    gathers constrained onto the mesh, gradient psum inserted by the
+    partitioner), and chunk i+1's host read overlaps all chips' work on
+    chunk i.  This covers campaigns too big even for the mesh's AGGREGATE
+    HBM (where ``dp_fit``'s sharded-resident dataset no longer fits);
+    global batch size is rounded up to a device multiple.  With the same
+    effective batch size the trajectory matches the single-chip stream to
+    reduction order (~1e-6, see test_train_stream)."""
     epochs = cfg.epochs if epochs is None else epochs
     n = plan.n_tiles("train")
     if n == 0:
         raise ValueError("streaming plan has no training tiles")
     bs = min(cfg.batch_size, n)
+    n_dev = 1
+    data_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        bs = max(bs, n_dev)
+        bs += (-bs) % n_dev
+        data_sh = NamedSharding(mesh, P("data"))
     chunk_tiles = min(chunk_tiles, n)
     chunk_tiles += (-chunk_tiles) % bs
 
@@ -223,12 +247,14 @@ def fit_streaming(
         "shuffle": bool(cfg.shuffle), "chunk_tiles": int(chunk_tiles),
         "streamed": True,
     }
+    if mesh is not None:
+        run_meta["devices"] = int(n_dev)
     history: Dict[str, list] = {"loss": [], "val_loss": []}
     start_epoch = 0
     if resume and checkpoint_dir:
         last = latest_checkpoint_epoch(checkpoint_dir)
         if last is not None:
-            check_run_meta(checkpoint_dir, run_meta)
+            check_run_meta(checkpoint_dir, run_meta, optional_keys=("devices",))
             state = restore_checkpoint(state, checkpoint_dir, last)
             start_epoch = last + 1
             hpath = os.path.join(checkpoint_dir, "history.json")
@@ -243,6 +269,22 @@ def fit_streaming(
         write_run_meta(checkpoint_dir, run_meta)
 
     have_val = plan.n_tiles("tune") > 0
+
+    if mesh is not None:
+        from specenh.parallel.data_parallel import (
+            _put_sharded,
+            make_dp_epoch_programs,
+        )
+
+        dp_train, eval_fn = make_dp_epoch_programs(mesh)
+        train_fn = epoch_fn if epoch_fn is not None else dp_train
+        # replicate AFTER the resume restore: orbax sees the host template
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+    else:
+        train_fn = epoch_fn if epoch_fn is not None else train_epoch
+        eval_fn = eval_epoch
 
     def run_split_epoch(slices, epoch: int, train: bool):
         """Stream one split through the device; returns (weighted pairs).
@@ -259,14 +301,25 @@ def fit_streaming(
         for xc, yc in _iter_chunks(store, list(slices), ps, chunk_tiles, order):
             nc = len(xc)
             perm = rng.permutation(nc) if (train and cfg.shuffle) else np.arange(nc)
-            bi, bm = _epoch_batches(nc, min(bs, nc), perm)
-            xd, yd = jnp.asarray(xc), jnp.asarray(yc)  # async upload
+            # with a mesh the per-chunk batch stays a device multiple (a
+            # short final chunk may make it exceed nc: _batches pads the
+            # single batch, the mask zeroes the pad rows)
+            bs_c = min(bs, nc) if mesh is None \
+                else min(bs, nc + (-nc) % n_dev)
+            bi, bm = _epoch_batches(nc, bs_c, perm)
+            if mesh is None:
+                xd, yd = jnp.asarray(xc), jnp.asarray(yc)  # async upload
+            else:
+                # zero-pad to the device count and shard over 'data'
+                # (padding rows are never gathered: bi covers [0, nc))
+                xd = _put_sharded(xc, data_sh, n_dev)
+                yd = _put_sharded(yc, data_sh, n_dev)
             if train:
-                state, losses = (epoch_fn or train_epoch)(
+                state, losses = train_fn(
                     state, xd, yd, jnp.asarray(bi), jnp.asarray(bm)
                 )
             else:
-                losses = eval_epoch(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
+                losses = eval_fn(state, xd, yd, jnp.asarray(bi), jnp.asarray(bm))
             # keep losses on device; the host loop continues reading the
             # next chunk from disk while the TPU trains this one
             pairs.append((losses, bm))
@@ -291,7 +344,7 @@ def fit_streaming(
         if writer:
             writer.write(json.dumps({
                 "epoch": epoch, "loss": epoch_loss, "val_loss": val, "sec": dt,
-                "streamed": True,
+                "streamed": True, "devices": int(n_dev),
             }) + "\n")
             writer.flush()
         if ckptr:

@@ -185,18 +185,21 @@ def test_build_data_writers_without_binary_errors(workspace):
               "--out", str(workspace / "d.hdf5"), "--writers", "4"])
 
 
-def test_train_stream_devices_warns_and_runs(workspace, capfd):
-    """--stream always + --devices N: streaming is single-chip, so the CLI
-    must say --devices is ignored rather than silently dropping it."""
+def test_train_stream_devices_shards_chunks(workspace, capfd):
+    """--stream always + --devices N: each streamed chunk is sharded over
+    a ('data',) mesh (the beyond-aggregate-HBM campaign path)."""
     _ensure_dataset(workspace, capfd)
     ds = str(workspace / "data.hdf5")
     train_dir = str(workspace / "train_stream_dev")
     main(["train", "--dataset", ds, "--out-dir", train_dir, "--model",
           "scan_k3", "--epochs", "1", "--num-shots", "2", "--stream",
-          "always", "--devices", "2", "--quiet"])
+          "always", "--devices", "2"])
     out = capfd.readouterr().out
-    assert "--devices 2 is ignored" in out
+    assert "streaming chunks sharded over 2 devices" in out
     assert np.isfinite(json.loads(out.strip().splitlines()[-1])["val_loss"])
+    with open(os.path.join(train_dir, "metrics.jsonl")) as fh:
+        first = json.loads(fh.readline())
+    assert first["streamed"] is True and first["devices"] == 2
 
 def test_train_kernel_devices_cli(workspace, capfd):
     """train --engine kernel --devices 2: the data-parallel fused-kernel

@@ -157,3 +157,30 @@ def test_dp_fit_sharded_matches_replicated():
     pa = np.asarray(out["data"][0].params["params"]["enc_conv0"]["kernel"])
     pb = np.asarray(out["replicated"][0].params["params"]["enc_conv0"]["kernel"])
     np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
+
+
+def test_fit_streaming_mesh_matches_single_chip(stream_store):
+    """fit_streaming(mesh=('data',)) — each streamed chunk sharded over the
+    mesh trains the same trajectory as the single-chip stream (same chunk
+    composition and shuffle stream; batch_size=8 is a device multiple, so
+    the effective batches are identical and only reduction order differs).
+    The chunk size also exercises a short final chunk (18 train tiles in
+    chunks of 8) whose batch pads to the device count."""
+    import jax
+
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(epochs=3, seed=0, shuffle=True, batch_size=8)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    s1, h1 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=8, ps=PS)
+    mesh = make_mesh(8, ("data",))
+    s2, h2 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=8, ps=PS, mesh=mesh)
+    np.testing.assert_allclose(h2["loss"], h1["loss"], rtol=2e-5)
+    np.testing.assert_allclose(h2["val_loss"], h1["val_loss"], rtol=2e-5)
+    pa = np.asarray(s1.params["params"]["enc_conv0"]["kernel"])
+    pb = np.asarray(s2.params["params"]["enc_conv0"]["kernel"])
+    np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
