@@ -383,6 +383,11 @@ def cmd_train_raw(args):
     traces = np.concatenate(traces, axis=0)
     train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by)
     engine = getattr(args, "engine", None) or "f32"
+    mesh = None
+    if getattr(args, "devices", 0) and args.devices > 1:
+        from specenh.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, ("data",))
     epoch_fn = None
     if engine == "kernel":
         import jax
@@ -396,10 +401,19 @@ def cmd_train_raw(args):
                 f"--engine kernel does not support the '{args.model}' "
                 "geometry; use f32/bf16"
             )
-        epoch_fn = kernel_epoch_for(
-            model_cfg, train_cfg,
-            interpret=jax.default_backend() == "cpu",
-        )
+        on_cpu = jax.default_backend() == "cpu"
+        if mesh is not None:
+            from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+            epoch_fn = dp_kernel_epoch_for(
+                model_cfg, train_cfg, mesh,
+                interpret=on_cpu,
+                dtype=jnp.float32 if on_cpu else None,
+            )
+        else:
+            epoch_fn = kernel_epoch_for(
+                model_cfg, train_cfg, interpret=on_cpu,
+            )
     state, hist = train_from_raw(
         traces, cfg, model_cfg,
         train_cfg,
@@ -408,6 +422,7 @@ def cmd_train_raw(args):
         channels_per_shot=args.channels,
         dtype=jnp.bfloat16 if engine == "bf16" else None,
         epoch_fn=epoch_fn,
+        mesh=mesh,
         verbose=not args.quiet,
     )
     os.makedirs(args.out_dir, exist_ok=True)
@@ -848,6 +863,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--binary", action="store_true")
     tr.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None,
                     help="training engine (same semantics as `train`)")
+    tr.add_argument("--devices", type=int, default=0,
+                    help="run the whole campaign SPMD over N devices: the "
+                         "trace upload lands channel-sharded, the STFT/"
+                         "pipeline/tiling compute on the shards, training "
+                         "is data-parallel")
     tr.add_argument("--quiet", action="store_true")
     tr.set_defaults(fn=cmd_train_raw)
 

@@ -69,6 +69,7 @@ def train_from_raw(
     epochs: Optional[int] = None,
     channels_per_shot: int = 1,
     dtype=None,
+    mesh=None,
     verbose: bool = False,
     **fit_kwargs,
 ) -> Tuple[TrainState, Dict[str, list]]:
@@ -87,9 +88,21 @@ def train_from_raw(
     ``dtype`` forwards to ``create_state`` (bf16 fast mode); engine swaps
     ride ``fit_kwargs`` (``epoch_fn=kernel_epoch_for(...)`` for the fused
     Pallas trainer — the CLI's ``train-raw --engine kernel``).
+
+    ``mesh`` (a ``('data',)`` mesh) runs the WHOLE campaign SPMD: the
+    trace upload lands sharded over channels, the jitted STFT/pipeline/
+    patch program computes on the shards (channel-major tiling keeps the
+    tile axis data-sharded), and training routes through ``dp_fit`` —
+    raw-to-model with no single-chip residency point anywhere.
     """
     model_cfg = model_cfg or cfg.model
     train_cfg = train_cfg or cfg.train
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        traces = jax.device_put(
+            jnp.asarray(traces), NamedSharding(mesh, P("data"))
+        )
     x, y = prepare_tiles_on_device(traces, cfg)
     n = x.shape[0]
     if train_cfg.split_by == "shot":
@@ -113,12 +126,22 @@ def train_from_raw(
     else:
         a, b = int(n * train_cfg.split_fracs[0]), int(n * train_cfg.split_fracs[1])
     state = create_state(model_cfg, train_cfg, dtype=dtype)
-    state, history = fit(
-        state,
-        x[:a], y[:a], x[a:b], y[a:b],
-        train_cfg,
-        epochs=epochs,
-        verbose=verbose,
-        **fit_kwargs,
-    )
+    if mesh is not None:
+        from specenh.parallel.data_parallel import dp_fit
+
+        state, history = dp_fit(
+            state, x[:a], y[:a], mesh, x[a:b], y[a:b],
+            epochs=train_cfg.epochs if epochs is None else epochs,
+            batch_size=train_cfg.batch_size, seed=train_cfg.seed,
+            shuffle=train_cfg.shuffle, verbose=verbose, **fit_kwargs,
+        )
+    else:
+        state, history = fit(
+            state,
+            x[:a], y[:a], x[a:b], y[a:b],
+            train_cfg,
+            epochs=epochs,
+            verbose=verbose,
+            **fit_kwargs,
+        )
     return state, history
