@@ -100,9 +100,25 @@ def train_from_raw(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        traces = jax.device_put(
-            jnp.asarray(traces), NamedSharding(mesh, P("data"))
-        )
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if not isinstance(traces, jax.Array):
+            traces = np.asarray(traces, np.float32)
+        if traces.shape[0] % n_dev:
+            # zero-padding the channel axis would inject synthetic all-zero
+            # channels into the dataset (extra tiles, shifted split
+            # boundaries) — refuse with the arithmetic instead of JAX's
+            # opaque uneven-sharding error
+            raise ValueError(
+                f"train_from_raw(mesh=): {traces.shape[0]} channels do not "
+                f"divide over the {n_dev}-device mesh; pass a channel count "
+                f"that is a multiple of {n_dev}"
+            )
+        # host arrays go straight onto the NamedSharding: each shard uploads
+        # to its own device.  jnp.asarray first would materialize the FULL
+        # trace tensor on the default device before resharding — a
+        # single-chip residency point (and a whole-tensor upload over the
+        # ~2 MB/s tunnel) this path exists to avoid.
+        traces = jax.device_put(traces, NamedSharding(mesh, P("data")))
     x, y = prepare_tiles_on_device(traces, cfg)
     n = x.shape[0]
     if train_cfg.split_by == "shot":

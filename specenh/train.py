@@ -186,7 +186,10 @@ def check_run_meta(
 
     ``optional_keys``: meta keys added after a schema change — ABSENT in
     the saved file is tolerated (old checkpoints stay resumable, the
-    pre-meta permissive case), present-but-different still raises."""
+    pre-meta permissive case), present-but-different still raises — in
+    EITHER direction: a key the checkpointed run saved but the current
+    meta omits is diffed against None, so e.g. a mesh-streamed run cannot
+    be silently resumed by a command that dropped --devices."""
     path = os.path.join(checkpoint_dir, "run_meta.json")
     if not os.path.exists(path):
         return  # pre-meta checkpoints: keep the old permissive behaviour
@@ -197,6 +200,9 @@ def check_run_meta(
         for k, v in meta.items()
         if saved.get(k) != v and not (k in optional_keys and k not in saved)
     }
+    for k in optional_keys:
+        if k in saved and k not in meta:
+            diffs[k] = (saved[k], None)
     if diffs:
         raise ValueError(
             f"cannot resume from {checkpoint_dir}: run parameters changed "

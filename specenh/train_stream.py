@@ -242,13 +242,15 @@ def fit_streaming(
         ckptr = ocp.StandardCheckpointer()
         checkpoint_dir = os.path.abspath(checkpoint_dir)
 
+    # 'devices' is recorded UNCONDITIONALLY (1 for the single-chip stream):
+    # resuming a mesh-streamed checkpoint from a command without --devices
+    # must diff against the saved value, which a key absent from the
+    # current meta could never do (round-3 advisor finding)
     run_meta = {
         "n": int(n), "seed": int(cfg.seed), "batch_size": int(bs),
         "shuffle": bool(cfg.shuffle), "chunk_tiles": int(chunk_tiles),
-        "streamed": True,
+        "streamed": True, "devices": int(n_dev),
     }
-    if mesh is not None:
-        run_meta["devices"] = int(n_dev)
     history: Dict[str, list] = {"loss": [], "val_loss": []}
     start_epoch = 0
     if resume and checkpoint_dir:

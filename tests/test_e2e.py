@@ -115,3 +115,22 @@ def test_train_from_raw_smoke(tiny_cfg):
         TrainConfig(epochs=2, batch_size=4, split_by="shot"),
     )
     assert np.isfinite(hist["val_loss"]).all()
+
+
+def test_train_from_raw_mesh_uneven_channels_raises(tiny_cfg):
+    """mesh= with a channel count that does not divide the mesh refuses
+    with the arithmetic spelled out (padding would train on synthetic
+    all-zero channels) instead of JAX's opaque uneven-sharding error."""
+    import jax
+
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    traces = _traces(6, tiny_cfg.spec)  # 6 channels over 8 devices
+    with pytest.raises(ValueError, match="divide over the 8-device mesh"):
+        e2e.train_from_raw(
+            traces, tiny_cfg, ModelConfig(filters=(4, 4)),
+            TrainConfig(epochs=1, batch_size=4),
+            mesh=make_mesh(8, ("data",)),
+        )

@@ -184,3 +184,41 @@ def test_fit_streaming_mesh_matches_single_chip(stream_store):
     pa = np.asarray(s1.params["params"]["enc_conv0"]["kernel"])
     pb = np.asarray(s2.params["params"]["enc_conv0"]["kernel"])
     np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
+
+
+def test_fit_streaming_mesh_resume_requires_same_devices(stream_store, tmp_path):
+    """A mesh-streamed checkpoint cannot be resumed by a single-chip
+    command: 'devices' is recorded unconditionally in the run meta, so the
+    saved 8 diffs against the current 1 (round-3 advisor finding — the
+    one-sided optional-key tolerance used to let this pass silently)."""
+    import jax
+
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(epochs=2, seed=0, shuffle=True, batch_size=8)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    ckdir = str(tmp_path / "ck")
+    mesh = make_mesh(8, ("data",))
+    fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg, epochs=1,
+                  chunk_tiles=8, ps=PS, mesh=mesh, checkpoint_dir=ckdir)
+    with pytest.raises(ValueError, match="run parameters changed"):
+        fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                      epochs=2, chunk_tiles=8, ps=PS,
+                      checkpoint_dir=ckdir, resume=True)
+
+
+def test_check_run_meta_saved_only_optional_key_raises(tmp_path):
+    """check_run_meta diffs optional keys in BOTH directions: present in
+    the saved meta but absent from the current one raises too."""
+    from specenh.train import check_run_meta, write_run_meta
+
+    ck = str(tmp_path / "ck")
+    write_run_meta(ck, {"n": 8, "devices": 4})
+    check_run_meta(ck, {"n": 8, "devices": 4}, optional_keys=("devices",))
+    with pytest.raises(ValueError, match="run parameters changed"):
+        check_run_meta(ck, {"n": 8}, optional_keys=("devices",))
+    # absent in the SAVED file stays tolerated (old checkpoints resumable)
+    write_run_meta(ck, {"n": 8})
+    check_run_meta(ck, {"n": 8, "devices": 1}, optional_keys=("devices",))
