@@ -132,7 +132,11 @@ def cmd_train(args):
     from specenh.viz.plots import display, plt_spec_shot, plot_val_loss
 
     model_cfg = MODEL_PRESETS[args.model]
-    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    train_cfg = TrainConfig(
+        epochs=args.epochs, seed=args.seed, split_by=args.split_by,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        patience=args.patience,
+    )
     os.makedirs(args.out_dir, exist_ok=True)
 
     store = SpectrogramStore(args.dataset, "r")
@@ -182,6 +186,14 @@ def cmd_train(args):
             if not args.quiet:
                 print(f"streaming chunks sharded over {devices} devices")
 
+    if args.chunk_tiles and not use_stream:
+        # stray-flag policy (see cmd_sweep): a knob the selected path never
+        # reads is an error, not a silent no-op
+        raise SystemExit(
+            "--chunk-tiles applies to the streamed epoch only; this run is "
+            "resident (dataset fits the HBM budget) — use --stream always "
+            "to force streaming"
+        )
     engine = getattr(args, "engine", None) or (
         "bf16" if getattr(args, "bf16", False) else "f32"
     )
@@ -242,7 +254,9 @@ def cmd_train(args):
                   else "streaming (forced)")
         with trace_cm:
             state, hist = fit_streaming(state, store, plan, train_cfg,
+                                        chunk_tiles=args.chunk_tiles or 4096,
                                         epoch_fn=epoch_fn, mesh=stream_mesh,
+                                        cache=args.stream_cache,
                                         **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns);
@@ -280,7 +294,8 @@ def cmd_train(args):
                 state, splits.x_train, splits.y_train, mesh,
                 splits.x_tune, splits.y_tune,
                 epochs=args.epochs, batch_size=train_cfg.batch_size,
-                seed=args.seed, epoch_fn=epoch_fn, **fit_common,
+                seed=args.seed, epoch_fn=epoch_fn,
+                patience=train_cfg.patience, **fit_common,
             )
         x_test = splits.x_test
     else:
@@ -381,7 +396,11 @@ def cmd_train_raw(args):
                 read_ece_channels(p, list(range(1, args.channels + 1)), cfg.spec.n_samples)
             )
     traces = np.concatenate(traces, axis=0)
-    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed, split_by=args.split_by)
+    train_cfg = TrainConfig(
+        epochs=args.epochs, seed=args.seed, split_by=args.split_by,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        patience=args.patience,
+    )
     engine = getattr(args, "engine", None) or "f32"
     mesh = None
     if getattr(args, "devices", 0) and args.devices > 1:
@@ -502,7 +521,11 @@ def cmd_sweep(args):
         configs, grid_shape = expand_grid_2layer(sw)
         names = ["ker1", "ker2", "ker3", "conv1", "conv2"]
 
-    train_cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    train_cfg = TrainConfig(
+        epochs=args.epochs, seed=args.seed, split_by=args.split_by,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        patience=args.patience,
+    )
     os.makedirs(args.out_dir, exist_ok=True)
     with SpectrogramStore(args.dataset, "r") as store:
         splits = assemble_from_store(
@@ -825,6 +848,31 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=15)
     t.add_argument("--num-shots", type=int, default=20)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--split-by", choices=["tile", "shot"], default="tile",
+                   help="'tile' = reference-exact leaky split "
+                        "(hyperparam_scan.py:148-149); 'shot' = leak-free "
+                        "shot-level split (dataset.ipynb cell 3) — honored "
+                        "by the resident, streamed, and --devices paths")
+    t.add_argument("--batch-size", type=int, default=128,
+                   help="training batch size (reference recipe: 128; the "
+                        "fused kernel engine amortizes fixed per-step cost "
+                        "with bigger batches)")
+    t.add_argument("--lr", type=float, default=1e-3,
+                   help="Adam learning rate (reference/Keras default 1e-3)")
+    t.add_argument("--chunk-tiles", type=int, default=None,
+                   help="tiles per streamed chunk (default 4096 ~ 1.1 GB "
+                        "of device residency); streamed path only")
+    t.add_argument("--stream-cache", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="host-RAM chunk cache for the streamed epoch: "
+                        "epochs after the first stream from memory instead "
+                        "of re-reading the store (~31 GB/epoch at reference "
+                        "scale).  auto = bounded by SPECENH_STREAM_CACHE_GB "
+                        "(default 60%% of MemAvailable)")
+    t.add_argument("--patience", type=int, default=None,
+                   help="early-stop after N epochs without val_loss "
+                        "improvement (the reference's commented-out "
+                        "EarlyStopping(patience=15); default: off)")
     t.add_argument("--bench-shot", default="176053")
     t.add_argument("--trace-dir", default=None,
                    help="write an xprof/TensorBoard device trace of training")
@@ -860,6 +908,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--cut-shot", type=float, default=None)
     tr.add_argument("--split-by", choices=["tile", "shot"], default="tile",
                     help="'tile' = reference-exact leaky split; 'shot' = leak-free")
+    tr.add_argument("--batch-size", type=int, default=128)
+    tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--patience", type=int, default=None,
+                    help="early-stop after N stale val epochs (default off)")
     tr.add_argument("--binary", action="store_true")
     tr.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None,
                     help="training engine (same semantics as `train`)")
@@ -895,6 +947,14 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--epochs", type=int, default=15)
     w.add_argument("--num-shots", type=int, default=20)
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--split-by", choices=["tile", "shot"], default="tile",
+                   help="'tile' = reference-exact leaky split; 'shot' = leak-free")
+    w.add_argument("--batch-size", type=int, default=128)
+    w.add_argument("--lr", type=float, default=1e-3)
+    w.add_argument("--patience", type=int, default=None,
+                   help="early-stop a config (serial engine) / the grid "
+                        "(envelope: when every config is stale) after N "
+                        "epochs without val improvement (default off)")
     w.add_argument("--devices", type=int, default=0,
                    help="envelope engine: shard the CONFIG axis over N "
                         "devices (the SLURM-array analog on a 'sweep' "

@@ -139,6 +139,13 @@ class TrainConfig:
     # 'shot' is the fixed alternative.
     split_fracs: Tuple[float, float] = (0.6, 0.85)
     split_by: str = "tile"
+    # Opt-in early stopping on val_loss (epochs without improvement before
+    # stopping).  The reference ships this knob commented out —
+    # ``EarlyStopping(monitor='val_loss', patience=15)``, manual_scan.py:175
+    # — so the default (None = off) matches its shipped behaviour; setting
+    # it mirrors Keras's semantics (stop after ``patience`` stale epochs,
+    # keep the final weights).
+    patience: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,7 +149,8 @@ def train_from_raw(
             state, x[:a], y[:a], mesh, x[a:b], y[a:b],
             epochs=train_cfg.epochs if epochs is None else epochs,
             batch_size=train_cfg.batch_size, seed=train_cfg.seed,
-            shuffle=train_cfg.shuffle, verbose=verbose, **fit_kwargs,
+            shuffle=train_cfg.shuffle, patience=train_cfg.patience,
+            verbose=verbose, **fit_kwargs,
         )
     else:
         state, history = fit(

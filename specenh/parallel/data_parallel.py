@@ -162,6 +162,7 @@ def dp_fit(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     epoch_fn=None,
+    patience: Optional[int] = None,
     verbose: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Multi-device Keras-fit equivalent.  ``batch_size`` is GLOBAL; it is
@@ -262,6 +263,13 @@ def dp_fit(
     # n_val (not len(x_val)): the device copy may carry shard-padding rows
     val_batches = _epoch_batches(n_val, bs, np.arange(n_val)) if have_val else None
 
+    # opt-in early stopping (see train.fit): seeded from restored history
+    best_val = min(history["val_loss"], default=np.inf)
+    stale = 0
+    if patience is not None and history["val_loss"]:
+        b = int(np.argmin(history["val_loss"]))
+        stale = len(history["val_loss"]) - 1 - b
+
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         perm = rng.permutation(n) if shuffle else np.arange(n)
@@ -297,6 +305,18 @@ def dp_fit(
             )
             with open(os.path.join(checkpoint_dir, "history.json"), "w") as fh:
                 json.dump(history, fh)
+        if patience is not None and history["val_loss"]:
+            val = history["val_loss"][-1]
+            if val < best_val:
+                best_val, stale = val, 0
+            else:
+                stale += 1
+            if stale >= patience:
+                history["stopped_epoch"] = epoch
+                if verbose:
+                    print(f"early stopping: val_loss stale for "
+                          f"{patience} epochs (best {best_val:.5f})")
+                break
     if writer:
         writer.close()
     if ckptr:

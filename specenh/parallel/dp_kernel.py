@@ -108,4 +108,13 @@ def dp_kernel_epoch_for(
 
         return jax.lax.scan(body, state, (batch_idx, batch_mask))
 
-    return epoch
+    # Mosaic compile failure (VMEM-cap geometry corner / compiler update)
+    # degrades to the SPMD Flax epoch with a warning — same trajectory
+    # contract, slower engine (see train.with_flax_fallback)
+    from specenh.parallel.data_parallel import make_dp_epoch_programs
+    from specenh.train import with_flax_fallback
+
+    return with_flax_fallback(
+        epoch, make_dp_epoch_programs(mesh, axis)[0],
+        label="sharded fused train kernel",
+    )

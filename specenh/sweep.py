@@ -447,6 +447,19 @@ def sweep_fit(
     if ckptr:
         write_run_meta(checkpoint_dir, run_meta)
 
+    # opt-in early stopping (train_cfg.patience; manual_scan.py:175's
+    # commented-out EarlyStopping).  The envelope trains every config in
+    # lockstep, so the whole sweep stops only when EVERY config has gone
+    # `patience` epochs without improving its own best val loss — each
+    # config sees at least its Keras stopping horizon.
+    if train_cfg.patience is not None:
+        best_vals = (np.min(np.asarray(va_hist), axis=0)
+                     if va_hist else np.full(len(configs), np.inf))
+        stales = np.zeros(len(configs), int)
+        if va_hist:
+            arg_best = np.argmin(np.asarray(va_hist), axis=0)
+            stales = len(va_hist) - 1 - arg_best
+
     for epoch in range(start_epoch, epochs):
         perm = rng.permutation(n) if train_cfg.shuffle else np.arange(n)
         batch_idx, batch_mask = _epoch_batches(n, bs, perm)
@@ -477,6 +490,16 @@ def sweep_fit(
                 },
                 force=True,
             )
+        if train_cfg.patience is not None:
+            v = np.asarray(va_hist[-1])
+            improved = v < best_vals
+            best_vals = np.minimum(best_vals, v)
+            stales = np.where(improved, 0, stales + 1)
+            if (stales >= train_cfg.patience).all():
+                if verbose:
+                    print(f"early stopping: every config stale for "
+                          f"{train_cfg.patience} epochs")
+                break
 
     if ckptr:
         ckptr.wait_until_finished()
@@ -593,7 +616,8 @@ def sweep_fit_serial(
                 state, x_train, y_train, mesh, x_val, y_val,
                 epochs=epochs, batch_size=train_cfg.batch_size,
                 seed=train_cfg.seed, epoch_fn=epoch_fn,
-                checkpoint_dir=ckpt_i, resume=resume, verbose=verbose,
+                checkpoint_dir=ckpt_i, resume=resume,
+                patience=train_cfg.patience, verbose=verbose,
             )
         else:
             state, hist = fit(
@@ -615,6 +639,14 @@ def sweep_fit_serial(
         stacked = embed_config_params(stacked, ci, cfg, env, params)
     val_losses = np.asarray([h[-1] for h in va_hist])
     best = int(np.argmin(val_losses))
+    # per-config early stopping (train_cfg.patience flows through each
+    # fit/dp_fit) can leave ragged histories: pad each with its final value
+    # so the (epochs, n_cfg) arrays stay rectangular (a stopped config
+    # plateaus at its last loss, which is what the curve means)
+    L = max(len(h) for h in tr_hist)
+    pad = lambda h: list(h) + [h[-1]] * (L - len(h))  # noqa: E731
+    tr_hist = [pad(h) for h in tr_hist]
+    va_hist = [pad(h) for h in va_hist]
     return SweepResult(
         configs=list(configs),
         env=env,

@@ -236,6 +236,51 @@ def restore_checkpoint(state: TrainState, checkpoint_dir: str, epoch: int) -> Tr
     return state.replace(params=restored["params"], opt_state=restored["opt_state"])
 
 
+# Error-message markers of a Pallas/Mosaic kernel that failed to COMPILE
+# (VMEM overflow, layout rejection): these are geometry/compiler-version
+# hazards, not user errors — the kernel engines fall back to the Flax
+# epoch instead of hard-failing (e.g. the k7/(64,32,64) depth-3 training
+# config sits at 114.8M of the 125M Mosaic VMEM cap; a compiler update
+# could push it over).  Anything else propagates.
+_KERNEL_COMPILE_MARKERS = (
+    "mosaic", "vmem", "resource_exhausted", "resource exhausted",
+    "scoped memory", "scratch memory",
+)
+
+
+def _is_kernel_compile_error(e: Exception) -> bool:
+    s = str(e).lower()
+    return any(m in s for m in _KERNEL_COMPILE_MARKERS)
+
+
+def with_flax_fallback(kernel_epoch, fallback_epoch, label: str = "fused kernel"):
+    """Wrap a Pallas epoch fn so a Mosaic compile failure degrades to the
+    Flax epoch with a warning instead of killing the run.  The failure
+    surfaces on the FIRST call (jit compile); the epoch state is untouched
+    by a failed compile, so retrying the same arguments on the fallback is
+    exact.  Subsequent epochs go straight to the fallback."""
+    import warnings
+
+    use_fallback = [False]
+
+    def epoch(st, *args):
+        if not use_fallback[0]:
+            try:
+                return kernel_epoch(st, *args)
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not _is_kernel_compile_error(e):
+                    raise
+                warnings.warn(
+                    f"{label} failed to compile for this geometry "
+                    f"({type(e).__name__}); falling back to the Flax epoch "
+                    f"— first error line: {str(e).splitlines()[0][:200]}"
+                )
+                use_fallback[0] = True
+        return fallback_epoch(st, *args)
+
+    return epoch
+
+
 def kernel_epoch_for(model_cfg: ModelConfig, train_cfg: TrainConfig,
                      block_tiles: int = 1, interpret: bool = False,
                      dtype=None):
@@ -253,16 +298,18 @@ def kernel_epoch_for(model_cfg: ModelConfig, train_cfg: TrainConfig,
     if model_cfg.depth == 3:
         from specenh.ops.ae3_train_kernel import kernel_train_epoch_fn3
 
-        return kernel_train_epoch_fn3(
+        ep = kernel_train_epoch_fn3(
             model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
             dtype=jnp.bfloat16 if dtype is None else dtype,
         )
-    from specenh.ops.ae_train_kernel import kernel_train_epoch_fn
+    else:
+        from specenh.ops.ae_train_kernel import kernel_train_epoch_fn
 
-    return kernel_train_epoch_fn(
-        model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
-        dtype=jnp.bfloat16 if dtype is None else dtype,
-    )
+        ep = kernel_train_epoch_fn(
+            model_cfg, tx, block_tiles=block_tiles, interpret=interpret,
+            dtype=jnp.bfloat16 if dtype is None else dtype,
+        )
+    return with_flax_fallback(ep, train_epoch)
 
 
 def fit(
@@ -335,6 +382,18 @@ def fit(
     if ckptr:
         write_run_meta(checkpoint_dir, run_meta)
 
+    # opt-in early stopping (cfg.patience; the reference's commented-out
+    # EarlyStopping(monitor='val_loss', patience=15), manual_scan.py:175):
+    # stop after `patience` epochs without a val_loss improvement, keeping
+    # the final weights — Keras's restore_best_weights=False default.
+    # Seeded from any RESTORED history so resume counts stale epochs
+    # exactly as the uninterrupted run would.
+    best_val = min(history["val_loss"], default=np.inf)
+    stale = 0
+    if cfg.patience is not None and history["val_loss"]:
+        b = int(np.argmin(history["val_loss"]))
+        stale = len(history["val_loss"]) - 1 - b
+
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         perm = rng.permutation(n) if cfg.shuffle else np.arange(n)
@@ -378,6 +437,17 @@ def fit(
             )
             with open(os.path.join(checkpoint_dir, "history.json"), "w") as fh:
                 json.dump(history, fh)
+        if cfg.patience is not None and val is not None:
+            if val < best_val:
+                best_val, stale = val, 0
+            else:
+                stale += 1
+            if stale >= cfg.patience:
+                history["stopped_epoch"] = epoch
+                if verbose:
+                    print(f"early stopping: val_loss stale for "
+                          f"{cfg.patience} epochs (best {best_val:.5f})")
+                break
     if writer:
         writer.close()
     if ckptr:

@@ -240,3 +240,73 @@ def test_resume_guards_run_meta(tmp_path):
     with pytest.raises(ValueError, match="run parameters changed"):
         fit(create_state(SMALL, tc), x[:8], y[:8], cfg=tc, epochs=2,
             checkpoint_dir=ck, resume=True)
+
+
+def test_early_stopping_patience():
+    """cfg.patience stops fit after N stale val epochs (Keras EarlyStopping
+    semantics, manual_scan.py:175).  lr=0 makes every epoch stale."""
+    from specenh.train import create_state, fit
+
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=0, learning_rate=0.0, patience=2)
+    _, hist = fit(create_state(SMALL, tc), x, y, x, y, cfg=tc, epochs=10)
+    # epoch 0 sets the best; epochs 1-2 are stale -> stop at epoch 2
+    assert hist["stopped_epoch"] == 2
+    assert len(hist["loss"]) == 3
+    # patience=None trains the full budget
+    tc = TrainConfig(batch_size=8, seed=0, learning_rate=0.0)
+    _, hist = fit(create_state(SMALL, tc), x, y, x, y, cfg=tc, epochs=4)
+    assert "stopped_epoch" not in hist and len(hist["loss"]) == 4
+
+
+def test_kernel_engine_mosaic_fallback():
+    """with_flax_fallback: a Mosaic/VMEM compile failure degrades to the
+    Flax epoch (identical result, warning emitted, sticky); other errors
+    propagate.  Guards the kernel engines' VMEM-cap geometry corners
+    (k7/(64,32,64) depth-3 runs at 114.8M of the 125M cap)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from specenh.train import (
+        _epoch_batches,
+        create_state,
+        train_epoch,
+        with_flax_fallback,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 64, 32, 1)), jnp.float32)
+    y = jnp.asarray((np.asarray(x) > 0.5), jnp.float32)
+    bi, bm = _epoch_batches(8, 4, np.arange(8))
+    bi, bm = jnp.asarray(bi), jnp.asarray(bm)
+    state = create_state(SMALL, TrainConfig(seed=0))
+
+    calls = {"kernel": 0}
+
+    def mosaic_boom(st, *a):
+        calls["kernel"] += 1
+        raise RuntimeError(
+            "Mosaic failed to compile TPU kernel: requested scoped memory "
+            "exceeds VMEM"
+        )
+
+    ep = with_flax_fallback(mosaic_boom, train_epoch)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st1, l1 = ep(state, x, y, bi, bm)
+        assert any("falling back" in str(x.message) for x in w)
+    st2, l2 = train_epoch(state, x, y, bi, bm)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+    # sticky: the second epoch skips the kernel attempt entirely
+    ep(st1, x, y, bi, bm)
+    assert calls["kernel"] == 1
+
+    def other_boom(st, *a):
+        raise RuntimeError("not a compile problem")
+
+    ep2 = with_flax_fallback(other_boom, train_epoch)
+    with pytest.raises(RuntimeError, match="not a compile problem"):
+        ep2(state, x, y, bi, bm)

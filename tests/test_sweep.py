@@ -383,3 +383,38 @@ def test_serial_sweep_kernel_engine_over_mesh():
                                rtol=1e-4)
     np.testing.assert_allclose(res_m.val_history, res_1.val_history,
                                rtol=1e-4)
+
+
+def test_sweep_envelope_early_stopping():
+    """Envelope sweep stops when EVERY config has gone patience epochs
+    without improving its own best val (lr=0: all stale after epoch 0)."""
+    from specenh.sweep import sweep_fit
+
+    rng = np.random.default_rng(0)
+    x = rng.random((12, 32, 16, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(32, 16, 1)),
+        ModelConfig(filters=(4, 4), kernels=((5, 5), (5, 5)), input_shape=(32, 16, 1)),
+    ]
+    tc = TrainConfig(batch_size=4, seed=0, learning_rate=0.0, patience=1)
+    res = sweep_fit(cfgs, x, y, x[:4], y[:4], tc, epochs=6)
+    assert res.val_history.shape[0] == 2  # epoch 0 + one stale epoch
+
+
+def test_sweep_serial_early_stopping_ragged_histories():
+    """Serial engine: per-config patience can stop configs at different
+    epochs; histories pad with their final value and stay rectangular."""
+    from specenh.sweep import sweep_fit_serial
+
+    rng = np.random.default_rng(1)
+    x = rng.random((12, 32, 16, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(32, 16, 1)),
+        ModelConfig(filters=(4, 4), kernels=((5, 5), (5, 5)), input_shape=(32, 16, 1)),
+    ]
+    tc = TrainConfig(batch_size=4, seed=0, learning_rate=0.0, patience=1)
+    res = sweep_fit_serial(cfgs, x, y, x[:4], y[:4], tc, epochs=6, engine="flax")
+    assert res.val_history.shape == (2, 2)
+    assert np.isfinite(res.val_losses).all()

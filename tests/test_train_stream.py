@@ -222,3 +222,87 @@ def test_check_run_meta_saved_only_optional_key_raises(tmp_path):
     # absent in the SAVED file stays tolerated (old checkpoints resumable)
     write_run_meta(ck, {"n": 8})
     check_run_meta(ck, {"n": 8, "devices": 1}, optional_keys=("devices",))
+
+
+def test_fit_streaming_early_stopping(stream_store):
+    """patience flows through the streamed fit too (lr=0 -> every epoch
+    after the first is stale)."""
+    cfg = TrainConfig(epochs=8, seed=1, batch_size=4, learning_rate=0.0,
+                      patience=1)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, hist = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                            chunk_tiles=8, ps=PS)
+    assert hist["stopped_epoch"] == 1
+    assert len(hist["loss"]) == 2
+
+
+def test_chunk_plans_canonical_composition():
+    """_chunk_plans cuts the slice list at exact tile boundaries (incl.
+    mid-record cuts) independent of epoch: total tiles and per-chunk sizes
+    are exact, and re-planning yields the identical composition."""
+    from specenh.data.grain_pipeline import RecordSlice
+    from specenh.train_stream import _chunk_plans
+
+    slices = [
+        RecordSlice("a", 1, 0, 5), RecordSlice("a", 2, 2, 5),
+        RecordSlice("b", 1, 0, 4),
+    ]
+    plans = _chunk_plans(slices, 4)
+    assert [sum(s.n_tiles for s in p) for p in plans] == [4, 4, 4]
+    # chunk 0 = a1[0:4]; chunk 1 = a1[4:5] + a2[2:5]; chunk 2 = b1[0:4]
+    assert plans[0] == [RecordSlice("a", 1, 0, 4)]
+    assert plans[1] == [RecordSlice("a", 1, 4, 5), RecordSlice("a", 2, 2, 5)]
+    assert plans == _chunk_plans(slices, 4)
+
+
+def test_fit_streaming_cache_matches_disk(stream_store):
+    """cache='always' trains the identical trajectory as cache='never'
+    under shuffle=False (canonical composition == stream order), and the
+    cached run stops reading the store after its first epoch."""
+    from specenh.io.store import SpectrogramStore
+
+    cfg = TrainConfig(epochs=3, seed=1, shuffle=False, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h_disk = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                              chunk_tiles=8, ps=PS, cache="never")
+
+    reads = {"n": 0}
+    orig = SpectrogramStore.read_column_slice
+
+    def counting_read(self, *a, **k):
+        reads["n"] += 1
+        return orig(self, *a, **k)
+
+    SpectrogramStore.read_column_slice = counting_read
+    try:
+        _, h_cache = fit_streaming(create_state(TINY, cfg), stream_store, plan,
+                                   cfg, chunk_tiles=8, ps=PS, cache="always")
+        three_epoch_reads = reads["n"]
+        reads["n"] = 0
+        fit_streaming(create_state(TINY, cfg), stream_store, plan,
+                      cfg, epochs=1, chunk_tiles=8, ps=PS, cache="always")
+        # 3 cached epochs read exactly what 1 epoch reads: epochs 2-3
+        # never touched the store
+        assert three_epoch_reads == reads["n"] > 0
+    finally:
+        SpectrogramStore.read_column_slice = orig
+    np.testing.assert_allclose(h_cache["loss"], h_disk["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_cache["val_loss"], h_disk["val_loss"], rtol=1e-6)
+
+
+def test_fit_streaming_cache_shuffled_resume_identical(stream_store, tmp_path):
+    """Shuffled + cached: interrupt/resume matches uninterrupted exactly —
+    canonical chunk composition means the resumed process rebuilds the
+    very same chunks the full run cached at epoch 0."""
+    cfg = TrainConfig(epochs=4, seed=2, shuffle=True, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h_full = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                              chunk_tiles=8, ps=PS, cache="always")
+    ckdir = str(tmp_path / "ck")
+    fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg, epochs=2,
+                  chunk_tiles=8, ps=PS, cache="always", checkpoint_dir=ckdir)
+    _, h_res = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                             epochs=4, chunk_tiles=8, ps=PS, cache="always",
+                             checkpoint_dir=ckdir, resume=True)
+    np.testing.assert_allclose(h_full["loss"], h_res["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-6)
