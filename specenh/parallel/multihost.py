@@ -57,19 +57,39 @@ def initialize_distributed(
             except ValueError:
                 return 1
 
+        # TPU_WORKER_HOSTNAMES counts only with >1 comma-separated hosts:
+        # single-chip rigs (e.g. the axon dev tunnel) legitimately export
+        # one hostname, and that is a standalone setup, not a pod
+        n_tpu_workers = len(
+            [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        )
         cluster_named = any(
             os.environ.get(k)
             for k in (
                 "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS",
             )
-        ) or _int_env("SLURM_JOB_NUM_NODES") > 1 or _int_env("OMPI_COMM_WORLD_SIZE") > 1
+        ) or n_tpu_workers > 1 or _int_env("SLURM_JOB_NUM_NODES") > 1 \
+            or _int_env("OMPI_COMM_WORLD_SIZE") > 1
         try:
             jax.distributed.initialize()
         except Exception:
             if cluster_named:
                 raise
             # single host / nothing to detect: run standalone
+        if cluster_named and jax.process_count() == 1:
+            # jax 0.9's auto-detect can also FAIL SILENTLY on a partially
+            # configured cluster (e.g. SLURM_JOB_NUM_NODES set without the
+            # rest of the scheduler env) — initialize() returns and the
+            # process thinks it is 1 of 1.  That is the every-host-redoes-
+            # the-campaign hazard this guard exists for: surface it.
+            raise RuntimeError(
+                "cluster environment names multiple nodes but "
+                "jax.distributed auto-detection came up single-process; "
+                "pass coordinator_address/num_processes/process_id "
+                "explicitly (a silent fallback would run the campaign once "
+                "per host)"
+            )
     return jax.process_index(), jax.process_count()
 
 
