@@ -73,3 +73,41 @@ def small_spec(small_spec_params, small_trace):
 
     s, f, t = spectrogram_ref(small_trace, small_spec_params)
     return s
+
+
+# ---------------------------------------------------------------------------
+# `pytest -m smoke`: one fast representative test per subsystem (< ~2 min on
+# a multi-core host), so correctness iteration on slow hosts does not cost
+# the full suite.  Central list, applied at collection — the tests
+# themselves stay unmarked.
+# ---------------------------------------------------------------------------
+
+SMOKE_TESTS = {
+    "tests/test_stft.py::test_psd_matches_scipy[linear]",
+    "tests/test_enhance.py::test_full_pipeline_parity",
+    "tests/test_svd.py::test_denoise_default_drops_top1",
+    "tests/test_tiles.py::test_patch_matches_reference_ordering",
+    "tests/test_io.py::test_store_schema_matches_reference",
+    "tests/test_crosspower.py::test_ae_co2_contract",
+    "tests/test_models.py::test_fit_history_and_determinism",
+    "tests/test_fused_ae.py::test_polyphase_matches_flax[shape0]",
+    "tests/test_parity_turn.py::test_specs_to_x16_2d_exact[1-6]",
+    "tests/test_ae_kernel.py::test_kernel_f32_exact",
+    "tests/test_ae_train_kernel.py::test_grad_parity_f32",
+    "tests/test_ae3_kernel.py::test_kernel3_f32_exact",
+    "tests/test_ae3_train_kernel.py::test_grad_parity_f32",
+    "tests/test_parallel.py::test_dp_step_matches_single_device",
+    "tests/test_train_stream.py::test_fit_streaming_chunked_trains",
+    "tests/test_sweep.py::test_sweep_trains_and_selects_best",
+    "tests/test_serve.py::test_serve_processes_backlog_and_is_idempotent",
+    "tests/test_native.py::test_native_read_matches_python",
+    "tests/test_utils.py::test_host_shard_partitions",
+    "tests/test_viz_and_grain.py::test_val_loss_artifacts",
+    "tests/test_e2e.py::test_train_from_raw_split_semantics[tile-5-2]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
