@@ -236,6 +236,59 @@ def measure_deep3_serving(n_channels: int = 20) -> dict:
     return {"serve3_ms_per_shot": round(sec * 1e3, 2)}
 
 
+def measure_stream_host(n_shots: int = 6, chunk_tiles: int = 4096) -> dict:
+    """HOST side of the streamed-campaign pipeline (the round-3 verdict's
+    flagship gap): HDF5 read + tile assembly throughput for one epoch of
+    canonical chunks, i.e. what epoch 0 pays per epoch-worth of data and
+    what the RAM chunk cache deletes from epochs 2..N.
+
+    Measured host-side on purpose: the device epoch is bench-tracked
+    separately (train_s_per_epoch_kernel), and on PCIe-attached TPU hosts
+    the streamed epoch is max(host pipeline, upload, device epoch) — the
+    tunnelled dev rig's 2 MB/s uplink would only measure the tunnel.
+
+    The store is synthesized directly at reference geometry into /tmp on
+    first use (~0.9 GB for 6 shots; layout is what matters, not physics).
+    """
+    import importlib.util
+
+    from specenh.config import PatchSpec
+    from specenh.io.store import SpectrogramStore
+    from specenh.train_stream import _chunk_plans, _read_chunk, plan_stream_split
+
+    path = f"/tmp/specenh_bench_stream_{n_shots}x20.hdf5"
+    if not os.path.exists(path):
+        spec = importlib.util.spec_from_file_location(
+            "synth_store", os.path.join(
+                os.path.dirname(BASELINE_CACHE), "scripts", "synth_store.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.synth_store(path, n_shots, verbose=False)
+
+    with SpectrogramStore(path, "r") as store:
+        plan = plan_stream_split(store, num_samples=n_shots)
+        plans = _chunk_plans(plan.train, chunk_tiles)
+        ps = PatchSpec()
+        _read_chunk(store, plans[0], ps)  # warm h5py/page-cache metadata
+        t0 = time.perf_counter()
+        nbytes = n_tiles = 0
+        for p in plans:
+            x, y = _read_chunk(store, p, ps)
+            nbytes += x.nbytes + y.nbytes
+            n_tiles += len(x)
+        dt = time.perf_counter() - t0
+    gbps = nbytes / dt / 2**30
+    print(f"# stream host pipeline: {n_tiles / dt:.0f} tiles/s, "
+          f"{gbps:.2f} GB/s ({n_tiles} tiles, {nbytes / 2**30:.2f} GB); "
+          f"reference 200-shot epoch = {120_000 * 0.6 / (n_tiles / dt):.1f} s "
+          "host-side without the cache, ~0 with it", file=sys.stderr)
+    return {
+        "stream_host_tiles_per_sec": round(n_tiles / dt, 1),
+        "stream_host_gbps": round(gbps, 3),
+    }
+
+
 def measure_cpu_baseline(n_channels: int = 4) -> tuple[float, bool]:
     """Reference CPU recipe: scipy.signal.spectrogram + Keras predict on
     patched tiles, per channel (hyperparam_scan.py:217-236 path).
@@ -326,6 +379,7 @@ def main(trace_dir: str | None = None):
     rec.update(measure_train())
     rec.update(measure_svd())
     rec.update(measure_deep3_serving())
+    rec.update(measure_stream_host())
     print(json.dumps(rec))
 
 

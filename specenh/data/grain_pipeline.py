@@ -70,6 +70,20 @@ def channel_records(
     return [(s, c) for s in shots for c in store.channels_of(s)]
 
 
+def _patch_np(a: np.ndarray, ps: PatchSpec) -> np.ndarray:
+    """Host-side ``tiles.patch`` for one (F, k*W) record: (k, F, W, 1)
+    float32.  Bit-identical to the jnp ``patch`` (same reshape/transpose;
+    tested), but pure numpy — the jax dispatch + extra copies cost ~19 ms
+    per record vs 0.5 ms here (measured, round 4), which dominated the
+    streamed epoch's host pipeline."""
+    f, t = a.shape
+    k = t // ps.tile_time
+    a = np.asarray(a, np.float32)
+    return np.ascontiguousarray(
+        a.reshape(f, k, ps.tile_time).transpose(1, 0, 2)
+    )[..., None]
+
+
 def _read_slice_tiles(
     store: SpectrogramStore, s: RecordSlice, ps: PatchSpec
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -85,9 +99,7 @@ def _read_slice_tiles(
     x, y = store.read_column_slice(
         s.shot, s.chn, s.lo * ps.tile_time, s.hi * ps.tile_time
     )
-    xt = np.asarray(patch(x, ps), dtype=np.float32)[..., None]
-    yt = np.asarray(patch(y, ps), dtype=np.float32)[..., None]
-    return xt, yt
+    return _patch_np(x, ps), _patch_np(y, ps)
 
 
 def iter_record_slices(
