@@ -10,7 +10,13 @@ Reproduces the reference's end-to-end workflow at its REAL workload shape
   5. SVD denoise + artifacts
   6. reports wall-clock for every stage + quality metrics
 
-Run: python scripts/full_campaign.py [workdir] [n_shots]
+Run: python scripts/full_campaign.py [workdir] [n_shots] [--stream]
+         [--engine f32|bf16|kernel] [--writers N] [--epochs N]
+
+--stream forces the host-streamed training epoch (the 200-shot-recipe
+mechanism; auto-engages anyway when the tile tensors exceed the HBM
+budget), --engine kernel runs the fused Pallas training kernels, and
+--writers N shards the campaign's HDF5 persist stage.
 """
 
 import json
@@ -26,7 +32,8 @@ from specenh.cli import main as cli
 from specenh.utils.logging import SpanTimer
 
 
-def run(workdir="out/full_campaign", n_shots=5):
+def run(workdir="out/full_campaign", n_shots=5, stream=False, engine=None,
+        writers=1, epochs=15):
     os.makedirs(workdir, exist_ok=True)
     t = SpanTimer()
     raw = os.path.join(workdir, "raw")
@@ -40,11 +47,14 @@ def run(workdir="out/full_campaign", n_shots=5):
         cli(["convert-bin", "--data-dir", raw, "--out-dir", bins, "--channels", "20"])
     with t("3_campaign_streaming"):
         cli(["build-data", "--data-dir", bins, "--out", ds, "--channels", "20",
-             "--binary", "--quiet"])
+             "--binary", "--writers", str(writers), "--quiet"])
     with t("4_train"):
         cli(["train", "--dataset", ds, "--out-dir", os.path.join(workdir, "train"),
-             "--model", "scan_k3", "--epochs", "15", "--num-shots", str(n_shots),
-             "--quiet"])
+             "--model", "scan_k3", "--epochs", str(epochs),
+             "--num-shots", str(n_shots)]
+            + (["--stream", "always"] if stream else [])
+            + (["--engine", engine] if engine else [])
+            + ["--quiet"])
     with t("5_sweep"):
         cli(["sweep", "--dataset", ds, "--out-dir", os.path.join(workdir, "sweep"),
              "--grid", "kernel", "--epochs", "3", "--num-shots", str(n_shots),
@@ -61,5 +71,16 @@ def run(workdir="out/full_campaign", n_shots=5):
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    run(args[0] if args else "out/full_campaign", int(args[1]) if len(args) > 1 else 5)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("workdir", nargs="?", default="out/full_campaign")
+    ap.add_argument("n_shots", nargs="?", type=int, default=5)
+    ap.add_argument("--stream", action="store_true",
+                    help="force the host-streamed training epoch")
+    ap.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None)
+    ap.add_argument("--writers", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=15)
+    a = ap.parse_args()
+    run(a.workdir, a.n_shots, stream=a.stream, engine=a.engine,
+        writers=a.writers, epochs=a.epochs)
