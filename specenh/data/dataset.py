@@ -21,7 +21,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from specenh.config import PatchSpec, TrainConfig
-from specenh.data.tiles import patch
+from specenh.data.tiles import n_tiles_for
 from specenh.io.store import SpectrogramStore
 
 __all__ = ["SplitArrays", "assemble_from_store", "split_tiles", "synthetic_shot_batch"]
@@ -43,6 +43,26 @@ class SplitArrays:
             self.x_train, self.x_tune, self.x_test,
             self.y_train, self.y_tune, self.y_test,
         )])
+
+
+def _patch_host(specs: np.ndarray, ps: PatchSpec = PatchSpec()) -> np.ndarray:
+    """``tiles.patch`` in pure numpy — bit-identical reshape/transpose.
+
+    Dataset assembly is a HOST-side operation: the jnp ``patch`` routed
+    the WHOLE sampled campaign through the default device, which both
+    round-trips gigabytes over the interconnect and OOMs HBM at reference
+    scale (a 50-shot assembly is ~16 GB of spec+label tensors vs one
+    v5e's 16 GB — found by the round-4 at-scale campaign run).  Device
+    placement happens later, batch-by-batch or via the sharded trainers.
+    """
+    specs = np.asarray(specs, np.float32)
+    if specs.ndim == 2:
+        specs = specs[None]
+    n, f, t = specs.shape
+    k = n_tiles_for(t, ps)
+    used = specs[:, :, : k * ps.tile_time]
+    out = used.reshape(n, f, k, ps.tile_time).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(out).reshape(n * k, f, ps.tile_time)
 
 
 def split_tiles(
@@ -95,7 +115,7 @@ def assemble_from_store(
             if not lst:
                 f = spec_list[0].shape[-2]
                 return np.zeros((0, f, ps.tile_time), np.float32)
-            return np.asarray(patch(np.concatenate(lst, axis=0), ps))
+            return _patch_host(np.concatenate(lst, axis=0), ps)
 
         return SplitArrays(
             tiled(spec_list[:a]), tiled(spec_list[a:b]), tiled(spec_list[b:]),
@@ -103,8 +123,8 @@ def assemble_from_store(
         )
     specs = np.concatenate(spec_list, axis=0)
     labels = np.concatenate(label_list, axis=0)
-    x = np.asarray(patch(specs, ps))
-    y = np.asarray(patch(labels, ps))
+    x = _patch_host(specs, ps)
+    y = _patch_host(labels, ps)
     return split_tiles(x, y, cfg.split_fracs)
 
 

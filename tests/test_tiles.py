@@ -59,3 +59,24 @@ def test_custom_patch_spec():
     np.testing.assert_array_equal(np.asarray(tiles[2]), a[:, 32:48])
     back = unpatch(tiles, ps)
     np.testing.assert_array_equal(np.asarray(back[0]), a[:, :64])
+
+
+def test_patch_host_matches_jnp_patch():
+    """dataset._patch_host (the host-side assembly tiler) is bit-identical
+    to tiles.patch — assembly must not route campaign-scale tensors
+    through the device (a 50-shot assembly OOM'd HBM, round 4)."""
+    import numpy as np
+
+    from specenh.config import PatchSpec
+    from specenh.data.dataset import _patch_host
+    from specenh.data.tiles import patch
+
+    rng = np.random.default_rng(3)
+    ps = PatchSpec(tile_freq=32, tile_time=16, step=16, tiles_per_spec=5)
+    specs = rng.random((3, 32, 83)).astype(np.float32)
+    np.testing.assert_array_equal(
+        _patch_host(specs, ps), np.asarray(patch(specs, ps))
+    )
+    np.testing.assert_array_equal(
+        _patch_host(specs[0], ps), np.asarray(patch(specs[0], ps))
+    )
