@@ -186,13 +186,13 @@ def cmd_train(args):
             if not args.quiet:
                 print(f"streaming chunks sharded over {devices} devices")
 
-    if args.chunk_tiles and not use_stream:
+    if (args.chunk_tiles or args.chunk_dtype) and not use_stream:
         # stray-flag policy (see cmd_sweep): a knob the selected path never
         # reads is an error, not a silent no-op
         raise SystemExit(
-            "--chunk-tiles applies to the streamed epoch only; this run is "
-            "resident (dataset fits the HBM budget) — use --stream always "
-            "to force streaming"
+            "--chunk-tiles/--chunk-dtype apply to the streamed epoch only; "
+            "this run is resident (dataset fits the HBM budget) — use "
+            "--stream always to force streaming"
         )
     engine = getattr(args, "engine", None) or (
         "bf16" if getattr(args, "bf16", False) else "f32"
@@ -257,6 +257,7 @@ def cmd_train(args):
                                         chunk_tiles=args.chunk_tiles or 4096,
                                         epoch_fn=epoch_fn, mesh=stream_mesh,
                                         cache=args.stream_cache,
+                                        cache_dtype=args.chunk_dtype,
                                         **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns);
@@ -862,6 +863,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--chunk-tiles", type=int, default=None,
                    help="tiles per streamed chunk (default 4096 ~ 1.1 GB "
                         "of device residency); streamed path only")
+    t.add_argument("--chunk-dtype", choices=["f32", "bf16"], default=None,
+                   help="streamed chunk storage/upload dtype: bf16 halves "
+                        "cache RAM and per-epoch host->device bytes, and is "
+                        "VALUE-EXACT with --engine kernel (the kernel casts "
+                        "its tile operands to bf16 anyway); ~1e-3 input "
+                        "quantization on the f32/bf16 engines")
     t.add_argument("--stream-cache", choices=["auto", "always", "never"],
                    default="auto",
                    help="host-RAM chunk cache for the streamed epoch: "

@@ -284,6 +284,7 @@ def fit_streaming(
     epoch_fn=None,
     mesh=None,
     cache: str = "auto",
+    cache_dtype: Optional[str] = None,
     verbose: bool = False,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent over a streamed store.  Returns
@@ -310,7 +311,17 @@ def fit_streaming(
     (default 60% of MemAvailable) so epochs after the first stream from
     memory instead of re-reading the store; ``'always'`` ignores the
     budget; ``'never'`` restores the per-epoch record reshuffle across
-    chunk boundaries (and per-epoch disk reads)."""
+    chunk boundaries (and per-epoch disk reads).
+
+    ``cache_dtype='bf16'`` stores and uploads chunks as bfloat16 — HALF
+    the cache RAM and half the per-epoch host->device bytes (the binding
+    term of a cached streamed epoch).  With ``--engine kernel`` this is
+    VALUE-EXACT: the fused kernel casts its tile operands to bf16 anyway
+    (tiles_to_x16/tiles_to_y16), so bf16-rounded inputs produce the
+    identical step.  With the Flax engines the inputs are bf16-rounded
+    before the f32 math (~1e-3 input quantization) — opt-in.  Under
+    ``mesh`` the shard placement casts back to f32 (upload savings do
+    not apply there yet)."""
     epochs = cfg.epochs if epochs is None else epochs
     n = plan.n_tiles("train")
     if n == 0:
@@ -368,6 +379,13 @@ def fit_streaming(
 
     if cache not in ("auto", "always", "never"):
         raise ValueError(f"cache must be 'auto'|'always'|'never', got {cache!r}")
+    if cache_dtype not in (None, "f32", "bf16"):
+        raise ValueError(f"cache_dtype must be None|'f32'|'bf16', got {cache_dtype!r}")
+    np_bf16 = None
+    if cache_dtype == "bf16":
+        import ml_dtypes
+
+        np_bf16 = ml_dtypes.bfloat16
     use_cache = cache != "never"
     cache_budget = float("inf") if cache == "always" else _stream_cache_budget_bytes()
     chunk_plans = (
@@ -421,6 +439,9 @@ def fit_streaming(
                     hit = cmap.get(j)
                     if hit is None:
                         hit = _read_chunk(store, plans[j], ps)
+                        if np_bf16 is not None:
+                            hit = (hit[0].astype(np_bf16),
+                                   hit[1].astype(np_bf16))
                         sz = hit[0].nbytes + hit[1].nbytes
                         if cache_bytes[0] + sz <= cache_budget:
                             cmap[j] = hit
@@ -437,6 +458,9 @@ def fit_streaming(
             chunk_iter = _iter_chunks(store, list(slices), ps, chunk_tiles, order)
         pairs = []  # (device losses, batch_mask) per chunk
         for xc, yc in chunk_iter:
+            if np_bf16 is not None and xc.dtype != np_bf16:
+                # cache='never' path: chunks come straight off disk in f32
+                xc, yc = xc.astype(np_bf16), yc.astype(np_bf16)
             nc = len(xc)
             perm = rng.permutation(nc) if (train and cfg.shuffle) else np.arange(nc)
             # with a mesh the per-chunk batch stays a device multiple (a

@@ -225,3 +225,32 @@ def test_bf16_kernel_grads_close(setup):
     flat_k, _ = jax.flatten_util.ravel_pytree(grads)
     denom = float(jnp.abs(flat_r).max())
     assert float(jnp.abs(flat_k - flat_r).max()) / denom < 5e-2
+
+
+def test_bf16_rounded_inputs_identical_sums():
+    """The kernel casts tile operands to bf16 internally (tiles_to_x16/
+    y16), so pre-rounded bf16 inputs — the --chunk-dtype bf16 streamed
+    cache — produce the IDENTICAL loss/grad sums (value-exactness of the
+    half-RAM half-upload cache for --engine kernel)."""
+    import jax.numpy as jnp
+
+    from specenh.config import ModelConfig
+    from specenh.ops.ae_train_kernel import build_train_maps, kernel_loss_grad_sums
+    from specenh.train import create_state
+
+    cfg = ModelConfig()
+    tm = build_train_maps(cfg)
+    state = create_state(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 256, 128, 1)), jnp.float32)
+    y = jnp.asarray(rng.random((2, 256, 128, 1)), jnp.float32)
+    m = jnp.ones((2,), jnp.float32)
+    a = kernel_loss_grad_sums(state.params, x, y, m, tm,
+                              interpret=True, dtype=jnp.bfloat16)
+    b = kernel_loss_grad_sums(state.params,
+                              x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                              m, tm, interpret=True, dtype=jnp.bfloat16)
+    assert float(a[0]) == float(b[0])
+    for ga, gb in zip(jax.tree_util.tree_leaves(a[2]),
+                      jax.tree_util.tree_leaves(b[2])):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))

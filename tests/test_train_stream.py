@@ -306,3 +306,20 @@ def test_fit_streaming_cache_shuffled_resume_identical(stream_store, tmp_path):
                              checkpoint_dir=ckdir, resume=True)
     np.testing.assert_allclose(h_full["loss"], h_res["loss"], rtol=1e-6)
     np.testing.assert_allclose(h_full["val_loss"], h_res["val_loss"], rtol=1e-6)
+
+
+def test_fit_streaming_bf16_chunks_train(stream_store):
+    """cache_dtype='bf16' (half cache RAM + half upload bytes): the run
+    trains and tracks the f32 trajectory to input-quantization tolerance."""
+    cfg = TrainConfig(epochs=3, seed=1, shuffle=False, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h32 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=8, ps=PS)
+    _, h16 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=8, ps=PS, cache_dtype="bf16")
+    np.testing.assert_allclose(h16["loss"], h32["loss"], atol=5e-3)
+    # the 'never' branch converts too
+    _, h16n = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                            chunk_tiles=8, ps=PS, cache="never",
+                            cache_dtype="bf16")
+    np.testing.assert_allclose(h16n["loss"], h16["loss"], rtol=1e-6)
