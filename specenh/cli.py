@@ -186,13 +186,14 @@ def cmd_train(args):
             if not args.quiet:
                 print(f"streaming chunks sharded over {devices} devices")
 
-    if (args.chunk_tiles or args.chunk_dtype) and not use_stream:
+    if (args.chunk_tiles or args.chunk_dtype or args.tile_cache) \
+            and not use_stream:
         # stray-flag policy (see cmd_sweep): a knob the selected path never
         # reads is an error, not a silent no-op
         raise SystemExit(
-            "--chunk-tiles/--chunk-dtype apply to the streamed epoch only; "
-            "this run is resident (dataset fits the HBM budget) — use "
-            "--stream always to force streaming"
+            "--chunk-tiles/--chunk-dtype/--tile-cache apply to the streamed "
+            "epoch only; this run is resident (dataset fits the HBM budget) "
+            "— use --stream always to force streaming"
         )
     engine = getattr(args, "engine", None) or (
         "bf16" if getattr(args, "bf16", False) else "f32"
@@ -258,6 +259,7 @@ def cmd_train(args):
                                         epoch_fn=epoch_fn, mesh=stream_mesh,
                                         cache=args.stream_cache,
                                         cache_dtype=args.chunk_dtype,
+                                        tile_cache=args.tile_cache,
                                         **fit_common)
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns);
@@ -869,6 +871,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "VALUE-EXACT with --engine kernel (the kernel casts "
                         "its tile operands to bf16 anyway); ~1e-3 input "
                         "quantization on the f32/bf16 engines")
+    t.add_argument("--tile-cache", default=None, metavar="BASE",
+                   help="persist the canonical tile stream pre-tiled on "
+                        "disk (<BASE>.<split>.tiles, fingerprinted against "
+                        "the exact slice plan): later runs over the same "
+                        "dataset memmap contiguous chunk slabs instead of "
+                        "re-reading + re-tiling HDF5")
     t.add_argument("--stream-cache", choices=["auto", "always", "never"],
                    default="auto",
                    help="host-RAM chunk cache for the streamed epoch: "

@@ -285,6 +285,7 @@ def fit_streaming(
     mesh=None,
     cache: str = "auto",
     cache_dtype: Optional[str] = None,
+    tile_cache: Optional[str] = None,
     verbose: bool = False,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Keras-fit equivalent over a streamed store.  Returns
@@ -321,7 +322,14 @@ def fit_streaming(
     identical step.  With the Flax engines the inputs are bf16-rounded
     before the f32 math (~1e-3 input quantization) — opt-in.  Under
     ``mesh`` the shard placement casts back to f32 (upload savings do
-    not apply there yet)."""
+    not apply there yet).
+
+    ``tile_cache`` (a base path) persists the canonical tile stream ON
+    DISK, pre-tiled and in the chunk dtype (``data.tilecache``): the
+    first run builds ``<base>.<split>.tiles`` in one store pass; later
+    runs (sweeps, resumes, re-recipes) memmap contiguous chunk slabs
+    instead of re-reading + re-tiling HDF5.  Fingerprinted against the
+    exact slice plan — a stale cache rebuilds, never silently reuses."""
     epochs = cfg.epochs if epochs is None else epochs
     n = plan.n_tiles("train")
     if n == 0:
@@ -398,6 +406,34 @@ def fit_streaming(
     }
     cache_bytes = [0]
 
+    tile_readers: Dict[str, object] = {}
+    chunk_offs: Dict[str, np.ndarray] = {}
+    if tile_cache is not None:
+        if not use_cache:
+            raise ValueError(
+                "tile_cache requires canonical chunk composition; it cannot "
+                "combine with cache='never' (per-epoch record reshuffle)"
+            )
+        from specenh.data.tilecache import build_tile_cache, open_tile_cache
+
+        tc_dtype = "bf16" if cache_dtype == "bf16" else "f32"
+        sid = getattr(store, "path", "?")
+        for split, slices in (("train", plan.train), ("tune", plan.tune)):
+            if not slices:
+                continue
+            r = open_tile_cache(tile_cache, split, sid, slices, ps, tc_dtype)
+            if r is None:
+                if verbose:
+                    print(f"building tile cache ({split}, {tc_dtype}) at "
+                          f"{tile_cache} ...")
+                build_tile_cache(store, slices, tile_cache, split, ps,
+                                 tc_dtype, store_id=sid)
+                r = open_tile_cache(tile_cache, split, sid, slices, ps,
+                                    tc_dtype)
+            tile_readers[split] = r
+            sizes = [sum(s.n_tiles for s in p) for p in chunk_plans[split]]
+            chunk_offs[split] = np.concatenate([[0], np.cumsum(sizes)])
+
     if mesh is not None:
         from specenh.parallel.data_parallel import (
             _put_sharded,
@@ -432,14 +468,20 @@ def fit_streaming(
                 else np.arange(len(plans))
             )
 
+            reader = tile_readers.get(split)
+
             def gen():
                 cmap = chunk_cache[split]
                 for j in corder:
                     j = int(j)
                     hit = cmap.get(j)
                     if hit is None:
-                        hit = _read_chunk(store, plans[j], ps)
-                        if np_bf16 is not None:
+                        if reader is not None:
+                            off = chunk_offs[split]
+                            hit = reader.read(int(off[j]), int(off[j + 1]))
+                        else:
+                            hit = _read_chunk(store, plans[j], ps)
+                        if np_bf16 is not None and hit[0].dtype != np_bf16:
                             hit = (hit[0].astype(np_bf16),
                                    hit[1].astype(np_bf16))
                         sz = hit[0].nbytes + hit[1].nbytes

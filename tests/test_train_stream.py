@@ -7,6 +7,8 @@ with fit when unchunked) and the data-axis-sharded resident dataset in
 dp_fit (identical to the replicated form).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -323,3 +325,109 @@ def test_fit_streaming_bf16_chunks_train(stream_store):
                             chunk_tiles=8, ps=PS, cache="never",
                             cache_dtype="bf16")
     np.testing.assert_allclose(h16n["loss"], h16["loss"], rtol=1e-6)
+
+
+def test_fit_streaming_partial_cache_budget(stream_store, monkeypatch):
+    """A cache budget smaller than the split pins only the chunks that
+    fit; the rest stream from disk every epoch — trajectory unchanged
+    (canonical composition) and the per-epoch read count settles at the
+    uncached remainder."""
+    from specenh.io.store import SpectrogramStore
+
+    cfg = TrainConfig(epochs=3, seed=1, shuffle=False, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h_full = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                              chunk_tiles=8, ps=PS, cache="always")
+    # one 8-tile chunk of (32,16,1) x/y tiles = 2*8*32*16*4 B; budget for ~1 chunk
+    monkeypatch.setenv("SPECENH_STREAM_CACHE_GB",
+                       str(1.5 * 2 * 8 * 32 * 16 * 4 / 2**30))
+    reads = {"n": 0}
+    orig = SpectrogramStore.read_column_slice
+
+    def counting_read(self, *a, **k):
+        reads["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SpectrogramStore, "read_column_slice", counting_read)
+    _, h_part = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                              chunk_tiles=8, ps=PS, cache="auto")
+    np.testing.assert_allclose(h_part["loss"], h_full["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_part["val_loss"], h_full["val_loss"], rtol=1e-6)
+    # epoch 1 reads everything; epochs 2-3 read strictly less (some chunks
+    # pinned) but not zero (budget excludes at least one chunk)
+    reads2 = {"n": 0}
+    monkeypatch.setattr(SpectrogramStore, "read_column_slice", orig)
+    monkeypatch.setenv("SPECENH_STREAM_CACHE_GB", "0")
+    # budget 0: nothing pins, every epoch re-reads — the count triples
+    monkeypatch.setattr(SpectrogramStore, "read_column_slice",
+                        lambda self, *a, **k: (reads2.__setitem__("n", reads2["n"] + 1), orig(self, *a, **k))[1])
+    fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                  chunk_tiles=8, ps=PS, cache="auto")
+    assert 0 < reads["n"] < reads2["n"]
+
+
+def test_tile_cache_roundtrip_and_fingerprint(stream_store, tmp_path):
+    """data.tilecache: build -> memmap chunks equal the HDF5-assembled
+    chunks; a mismatched plan or dtype is treated as absent (rebuild);
+    a build that died before the sidecar is invisible."""
+    from specenh.data.tilecache import build_tile_cache, open_tile_cache
+    from specenh.train_stream import _chunk_plans, _read_chunk
+
+    cfg = TrainConfig(seed=1)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    base = str(tmp_path / "tc")
+    sid = stream_store.path
+    build_tile_cache(stream_store, plan.train, base, "train", PS, "f32",
+                     store_id=sid, chunk_tiles=8)
+    r = open_tile_cache(base, "train", sid, plan.train, PS, "f32")
+    assert r is not None and r.n == plan.n_tiles("train")
+    offs = [0]
+    for p in _chunk_plans(plan.train, 8):
+        want = _read_chunk(stream_store, p, PS)
+        lo = offs[-1]
+        offs.append(lo + len(want[0]))
+        got = r.read(lo, offs[-1])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    # wrong dtype / wrong plan -> absent
+    assert open_tile_cache(base, "train", sid, plan.train, PS, "bf16") is None
+    assert open_tile_cache(base, "train", sid, plan.train[:-1], PS, "f32") is None
+    # missing sidecar (interrupted build) -> absent
+    os.remove(base + ".train.json")
+    assert open_tile_cache(base, "train", sid, plan.train, PS, "f32") is None
+
+
+def test_fit_streaming_tile_cache(stream_store, tmp_path):
+    """tile_cache: identical trajectory, and the SECOND run never touches
+    the HDF5 store at all (every read comes from the memmap)."""
+    from specenh.io.store import SpectrogramStore
+
+    cfg = TrainConfig(epochs=2, seed=1, shuffle=False, batch_size=4)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    _, h_ref = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                             chunk_tiles=8, ps=PS)
+    base = str(tmp_path / "tc2")
+    _, h_tc = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                            chunk_tiles=8, ps=PS, tile_cache=base)
+    np.testing.assert_allclose(h_tc["loss"], h_ref["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_tc["val_loss"], h_ref["val_loss"], rtol=1e-6)
+
+    reads = {"n": 0}
+    orig = SpectrogramStore.read_column_slice
+
+    def counting_read(self, *a, **k):
+        reads["n"] += 1
+        return orig(self, *a, **k)
+
+    SpectrogramStore.read_column_slice = counting_read
+    try:
+        _, h_tc2 = fit_streaming(create_state(TINY, cfg), stream_store, plan,
+                                 cfg, chunk_tiles=8, ps=PS, tile_cache=base)
+    finally:
+        SpectrogramStore.read_column_slice = orig
+    assert reads["n"] == 0, "second tile-cached run must not read the store"
+    np.testing.assert_allclose(h_tc2["loss"], h_ref["loss"], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="canonical chunk composition"):
+        fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                      chunk_tiles=8, ps=PS, tile_cache=base, cache="never")
