@@ -371,3 +371,23 @@ def test_dp_fit_device_resident_inputs_match_host(mesh8):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_dp_fit_early_stopping(mesh8):
+    """dp_fit(patience=N): stops after N stale val epochs (lr=0 makes
+    every epoch after the first stale), like fit/fit_streaming."""
+    from specenh.config import ModelConfig
+    from specenh.parallel.data_parallel import dp_fit
+    from specenh.train import create_state
+
+    tiny = ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)),
+                       input_shape=(32, 16, 1))
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 32, 16, 1)).astype(np.float32)
+    y = (x * 0.5).astype(np.float32)
+    tc = TrainConfig(seed=0, learning_rate=0.0)
+    state = create_state(tiny, tc)
+    _, hist = dp_fit(state, x, y, mesh8, x[:8], y[:8], epochs=8,
+                     batch_size=8, seed=0, patience=1)
+    assert hist["stopped_epoch"] == 1
+    assert len(hist["loss"]) == 2
