@@ -530,11 +530,40 @@ def cmd_sweep(args):
         patience=args.patience,
     )
     os.makedirs(args.out_dir, exist_ok=True)
-    with SpectrogramStore(args.dataset, "r") as store:
-        splits = assemble_from_store(
-            store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
-        ).reshaped()
     engine = getattr(args, "engine", "envelope")
+    store = SpectrogramStore(args.dataset, "r")
+
+    # streamed sweeps (the 200-shot recipe's ~31 GB tile set cannot be
+    # assembled resident on one chip): decided from store METADATA like
+    # cmd_train.  Only the serial kernel engine streams (per-config
+    # fit_streaming); the vmapped envelope needs the resident dataset.
+    from specenh.train_stream import (
+        estimate_resident_bytes,
+        plan_stream_split,
+    )
+
+    plan = plan_stream_split(
+        store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
+    )
+    n_total = sum(plan.n_tiles(s) for s in ("train", "tune", "test"))
+    budget = float(os.environ.get("SPECENH_HBM_BUDGET_GB", "12")) * 2**30
+    use_stream = args.stream == "always" or (
+        args.stream == "auto" and estimate_resident_bytes(n_total) > budget
+    )
+    if use_stream and engine != "kernel":
+        raise SystemExit(
+            "this sweep's dataset exceeds the resident budget (or --stream "
+            "always was given): streamed sweeps run per-config on the "
+            "serial engine — add --engine kernel (the vmapped envelope "
+            "needs the resident dataset)"
+        )
+    if (args.chunk_tiles or args.chunk_dtype or args.tile_cache) \
+            and not use_stream:
+        raise SystemExit(
+            "--chunk-tiles/--chunk-dtype/--tile-cache apply to the "
+            "streamed sweep only; this grid is resident — use --stream "
+            "always to force streaming"
+        )
     mesh = None
     if getattr(args, "devices", 0) and args.devices > 1:
         from specenh.parallel.mesh import make_mesh
@@ -545,25 +574,47 @@ def cmd_sweep(args):
         mesh = make_mesh(args.devices,
                          ("data",) if engine == "kernel" else ("sweep",))
     ckpt_dir = os.path.join(args.out_dir, "checkpoints") if args.checkpoints else None
-    if engine == "kernel":
-        from specenh.sweep import sweep_fit_serial
+    if use_stream:
+        import jax
 
-        res = sweep_fit_serial(
-            configs, splits.x_train, splits.y_train, splits.x_tune,
-            splits.y_tune, train_cfg, epochs=args.epochs,
+        from specenh.sweep import sweep_fit_serial_streamed
+
+        if not args.quiet:
+            print(f"streaming sweep: {plan.n_tiles('train')} train tiles "
+                  f"per config over {len(configs)} configs")
+        res = sweep_fit_serial_streamed(
+            configs, store, plan, train_cfg, epochs=args.epochs,
             dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
             checkpoint_dir=ckpt_dir, resume=args.resume, mesh=mesh,
+            chunk_tiles=args.chunk_tiles or 4096,
+            cache_dtype=args.chunk_dtype, tile_cache=args.tile_cache,
+            interpret=jax.default_backend() == "cpu",
             verbose=not args.quiet,
         )
+        splits = None
     else:
-        res = sweep_fit(
-            configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
-            train_cfg, epochs=args.epochs, verbose=not args.quiet,
-            mesh=mesh,
-            dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
-            checkpoint_dir=ckpt_dir,
-            resume=args.resume,
-        )
+        splits = assemble_from_store(
+            store, num_samples=args.num_shots, cfg=train_cfg, seed=args.seed
+        ).reshaped()
+        if engine == "kernel":
+            from specenh.sweep import sweep_fit_serial
+
+            res = sweep_fit_serial(
+                configs, splits.x_train, splits.y_train, splits.x_tune,
+                splits.y_tune, train_cfg, epochs=args.epochs,
+                dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+                checkpoint_dir=ckpt_dir, resume=args.resume, mesh=mesh,
+                verbose=not args.quiet,
+            )
+        else:
+            res = sweep_fit(
+                configs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+                train_cfg, epochs=args.epochs, verbose=not args.quiet,
+                mesh=mesh,
+                dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
+                checkpoint_dir=ckpt_dir,
+                resume=args.resume,
+            )
     np.save(os.path.join(args.out_dir, "val_losses.npy"), res.val_losses.reshape(grid_shape))
 
     # per-config inference timing (manual_scan.py:226-248 pred_times): each
@@ -578,7 +629,19 @@ def cmd_sweep(args):
 
     pred_times = np.zeros_like(res.val_losses)
     if not args.no_time_configs:
-        tile_batch = jnp.asarray(splits.x_tune[:30])
+        if splits is not None:
+            tile_batch = jnp.asarray(splits.x_tune[:30])
+        else:
+            # streamed grid: one bounded tune chunk, never the full split
+            from specenh.config import PatchSpec
+            from specenh.train_stream import _iter_chunks
+
+            chunk = next(
+                _iter_chunks(store, plan.tune, PatchSpec(), 30), None
+            )
+            tile_batch = jnp.asarray(chunk[0][:30]) if chunk is not None \
+                else None
+    if not args.no_time_configs and tile_batch is not None:
         for ci, mc in enumerate(res.configs):
             p_i = extract_config_params(res.stacked_params, ci, mc, res.env)
             f = make_production_predict_fn(mc)
@@ -597,6 +660,7 @@ def cmd_sweep(args):
     state = create_state(best_cfg, train_cfg).replace(params=res.best_params)
     save_model(state, os.path.join(args.out_dir, "best_model"), best_cfg)
     plot_val_loss(res.val_history[:, res.best_index], os.path.join(args.out_dir, "best_val_loss.png"))
+    store.close()
     print(json.dumps({
         "best_index": res.best_index,
         "best_val_loss": float(res.val_losses[res.best_index]),
@@ -983,6 +1047,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "geometry's cost; kernel: serial per-config fits "
                         "on the fused Pallas training kernels (measured "
                         "3.3x on the k3/k5/k7 grid)")
+    w.add_argument("--stream", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="host-stream each config's epochs when the tile "
+                        "tensors exceed the HBM budget (serial --engine "
+                        "kernel only; the 200-shot recipe's grid cannot "
+                        "assemble resident).  Same budget env as train.")
+    w.add_argument("--chunk-tiles", type=int, default=None,
+                   help="tiles per streamed chunk (streamed sweeps only)")
+    w.add_argument("--chunk-dtype", choices=["f32", "bf16"], default=None,
+                   help="streamed chunk dtype (see train --chunk-dtype)")
+    w.add_argument("--tile-cache", default=None, metavar="BASE",
+                   help="pre-tiled on-disk tile cache: configs 2..N skip "
+                        "the HDF5 pass entirely (see train --tile-cache)")
     w.add_argument("--no-time-configs", action="store_true",
                    help="skip the per-config pred_times measurement")
     w.add_argument("--checkpoints", action="store_true",

@@ -660,6 +660,110 @@ def sweep_fit_serial(
     )
 
 
+def sweep_fit_serial_streamed(
+    configs: Sequence[ModelConfig],
+    store,
+    plan,
+    train_cfg: TrainConfig = TrainConfig(),
+    epochs: Optional[int] = None,
+    dtype=None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    interpret: Optional[bool] = None,
+    engine: str = "kernel",
+    mesh=None,
+    chunk_tiles: int = 4096,
+    cache_dtype: Optional[str] = None,
+    tile_cache: Optional[str] = None,
+    ps=None,
+    verbose: bool = False,
+) -> SweepResult:
+    """Serial per-config sweep over a HOST-STREAMED dataset — sweeps at
+    the reference's largest recipe scale (the 200-shot ~31 GB tile set,
+    manual_scan.py:137-156), which the resident engines cannot assemble
+    on one chip at all.
+
+    Each config trains through ``train_stream.fit_streaming`` (chunked
+    epochs, host-RAM chunk cache, optional bf16 chunks and on-disk tile
+    cache — the tile cache makes configs 2..N skip the HDF5 pass
+    entirely), on the fused Pallas training kernel where the geometry
+    supports it (``engine='flax'`` forces the stock epoch).  ``mesh``
+    (a ``('data',)`` mesh) shards each config's streamed chunks over the
+    devices, exactly like ``train --stream --devices``.
+
+    Parity mirrors ``sweep_fit_serial``: identical per-config glorot
+    draws (init_stacked_params), per-config checkpoint/resume under
+    ``cfg_<i>/``, the same SweepResult.  With ``shuffle=False`` and
+    ``chunk_tiles >= n`` the per-config trajectories are IDENTICAL to
+    the resident serial engine's (fit_streaming's identity contract).
+    """
+    from specenh.config import PatchSpec
+    from specenh.ops.ae3_kernel import supports3 as _supports3
+    from specenh.ops.ae_train_kernel import supports as _supports2
+    from specenh.train import create_state, kernel_epoch_for
+    from specenh.train_stream import fit_streaming
+
+    ps = PatchSpec() if ps is None else ps
+    epochs = train_cfg.epochs if epochs is None else epochs
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    env = envelope_config(configs)
+    stacked, masks = init_stacked_params(configs, env, train_cfg.seed)
+    tr_hist, va_hist = [], []
+    finals = []
+    for ci, cfg in enumerate(configs):
+        params0 = extract_config_params(stacked, ci, cfg, env)
+        state = create_state(cfg, train_cfg, dtype=dtype).replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params0)
+        )
+        epoch_fn = None
+        if engine == "kernel" and (_supports2(cfg) or _supports3(cfg)):
+            if mesh is not None:
+                from specenh.parallel.dp_kernel import dp_kernel_epoch_for
+
+                epoch_fn = dp_kernel_epoch_for(
+                    cfg, train_cfg, mesh, interpret=interpret,
+                    dtype=jnp.float32 if interpret else dtype,
+                )
+            else:
+                epoch_fn = kernel_epoch_for(cfg, train_cfg,
+                                            interpret=interpret, dtype=dtype)
+        ckpt_i = (os.path.join(checkpoint_dir, f"cfg_{ci:03d}")
+                  if checkpoint_dir else None)
+        state, hist = fit_streaming(
+            state, store, plan, train_cfg, epochs=epochs,
+            chunk_tiles=chunk_tiles, ps=ps, epoch_fn=epoch_fn, mesh=mesh,
+            cache_dtype=cache_dtype, tile_cache=tile_cache,
+            checkpoint_dir=ckpt_i, resume=resume, verbose=verbose,
+        )
+        if verbose:
+            print(f"config {ci + 1}/{len(configs)} "
+                  f"({'kernel' if epoch_fn else 'flax'}, streamed) "
+                  f"val={hist['val_loss'][-1]:.5f}")
+        tr_hist.append(hist["loss"])
+        va_hist.append(hist["val_loss"])
+        params = jax.device_get(state.params)
+        finals.append(params)
+        stacked = embed_config_params(stacked, ci, cfg, env, params)
+    val_losses = np.asarray([h[-1] for h in va_hist])
+    best = int(np.argmin(val_losses))
+    L = max(len(h) for h in tr_hist)
+    pad = lambda h: list(h) + [h[-1]] * (L - len(h))  # noqa: E731
+    tr_hist = [pad(h) for h in tr_hist]
+    va_hist = [pad(h) for h in va_hist]
+    return SweepResult(
+        configs=list(configs),
+        env=env,
+        val_losses=val_losses,
+        train_history=np.asarray(tr_hist).T,
+        val_history=np.asarray(va_hist).T,
+        best_index=best,
+        best_params=jax.device_get(finals[best]),
+        stacked_params=jax.device_get(stacked),
+        masks=masks,
+    )
+
+
 # ---------------------------------------------------------------------------
 # marginal reporting (loss_comparisons.npz parity)
 # ---------------------------------------------------------------------------

@@ -275,3 +275,29 @@ def test_train_chunk_tiles_on_resident_errors(workspace, capfd):
           "--chunk-tiles", "64", "--quiet"])
     out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["val_loss"])
+
+
+def test_sweep_streamed_cli(workspace, capfd):
+    """sweep --stream always --engine kernel: the beyond-HBM grid path
+    (per-config fit_streaming + tile cache) produces the standard sweep
+    artifact set; envelope+stream and stray stream flags are errors."""
+    ds = _ensure_dataset(workspace, capfd)
+    out = str(workspace / "sweep_streamed")
+    main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
+          "--kernel-vals", "3", "--epochs", "1", "--num-shots", "2",
+          "--stream", "always", "--engine", "kernel",
+          "--tile-cache", str(workspace / "sweep_tc"), "--quiet"])
+    res = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert res["n_configs"] == 1 and np.isfinite(res["best_val_loss"])
+    for artifact in ["val_losses.npy", "loss_comparisons.npz", "best_model"]:
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    assert os.path.exists(str(workspace / "sweep_tc") + ".train.tiles")
+
+    with pytest.raises(SystemExit, match="--engine kernel"):
+        main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
+              "--epochs", "1", "--num-shots", "2", "--stream", "always",
+              "--quiet"])
+    with pytest.raises(SystemExit, match="streamed sweep only"):
+        main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
+              "--epochs", "1", "--num-shots", "2", "--engine", "kernel",
+              "--tile-cache", "/tmp/x", "--quiet"])

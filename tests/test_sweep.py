@@ -418,3 +418,44 @@ def test_sweep_serial_early_stopping_ragged_histories():
     res = sweep_fit_serial(cfgs, x, y, x[:4], y[:4], tc, epochs=6, engine="flax")
     assert res.val_history.shape == (2, 2)
     assert np.isfinite(res.val_losses).all()
+
+
+def test_sweep_serial_streamed_matches_resident(tmp_path):
+    """sweep_fit_serial_streamed (the beyond-HBM sweep engine): with
+    shuffle=False and chunk >= n each config's trajectory is IDENTICAL to
+    the resident serial engine's (fit_streaming's identity contract),
+    config for config."""
+    from specenh.config import PatchSpec
+    from specenh.data.dataset import assemble_from_store
+    from specenh.io.store import SpectrogramStore
+    from specenh.sweep import sweep_fit_serial, sweep_fit_serial_streamed
+    from specenh.train_stream import plan_stream_split
+
+    ps = PatchSpec(tile_freq=32, tile_time=16, step=16, tiles_per_spec=5)
+    rng = np.random.default_rng(5)
+    store = SpectrogramStore(str(tmp_path / "s.hdf5"))
+    for shot in ["201", "202", "203"]:
+        for chn in [1, 2]:
+            s = rng.random((32, 83)).astype(np.float32)
+            store.write_channel(shot, chn, s, np.arange(32.0),
+                                np.arange(83.0), s * 0.5)
+    cfgs = [
+        ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)), input_shape=(32, 16, 1)),
+        ModelConfig(filters=(4, 4), kernels=((5, 5), (5, 5)), input_shape=(32, 16, 1)),
+    ]
+    tc = TrainConfig(epochs=3, seed=0, shuffle=False, batch_size=8)
+    splits = assemble_from_store(store, num_samples=3, ps=ps, cfg=tc, seed=3)
+    splits = splits.reshaped()
+    res_res = sweep_fit_serial(
+        cfgs, splits.x_train, splits.y_train, splits.x_tune, splits.y_tune,
+        tc, epochs=3, engine="flax",
+    )
+    plan = plan_stream_split(store, num_samples=3, ps=ps, cfg=tc, seed=3)
+    res_str = sweep_fit_serial_streamed(
+        cfgs, store, plan, tc, epochs=3, engine="flax",
+        chunk_tiles=10_000, tile_cache=str(tmp_path / "tc"), ps=ps,
+    )
+    np.testing.assert_allclose(res_str.val_history, res_res.val_history, rtol=1e-6)
+    np.testing.assert_allclose(res_str.val_losses, res_res.val_losses, rtol=1e-6)
+    assert res_str.best_index == res_res.best_index
+    store.close()
