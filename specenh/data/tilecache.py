@@ -28,6 +28,7 @@ infrastructure for its largest recipes.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -40,10 +41,34 @@ from specenh.config import PatchSpec
 
 __all__ = [
     "plan_fingerprint",
+    "store_identity",
     "build_tile_cache",
     "open_tile_cache",
     "TileCacheReader",
 ]
+
+
+def store_identity(store) -> str:
+    """Identity string binding a cache to the backing store FILES, not just
+    the path: ``path:size:mtime_ns`` for the base HDF5 file and every
+    ``.shardK`` sidecar (the writer-pool layout ``io.store`` reads).  A
+    store regenerated in place — same path, same shot names and shapes,
+    different bytes (re-run build-data after a quarantine, a synth store
+    rebuilt with another seed) — then changes the fingerprint and the
+    cache rebuilds instead of silently serving stale tiles."""
+    path = getattr(store, "path", None)
+    if not path or not os.path.exists(path):
+        return str(path)
+    shards = sorted(
+        (p for p in glob.glob(path + ".shard*")
+         if p[len(path) + 6:].isdigit()),
+        key=lambda p: int(p[len(path) + 6:]),
+    )
+    parts = []
+    for p in [path] + shards:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
 
 _MAGIC = b"SPTC0001"
 _DTYPES = {"f32": np.float32}
@@ -158,7 +183,7 @@ def build_tile_cache(
     if mx is not None:
         mx.flush()
         my.flush()
-    sid = store_id if store_id is not None else getattr(store, "path", "?")
+    sid = store_id if store_id is not None else store_identity(store)
     with open(meta_path, "w") as fh:
         json.dump({"fingerprint": plan_fingerprint(sid, slices, ps, dtype),
                    "n": n, "f": f, "w": w, "dtype": dtype}, fh)

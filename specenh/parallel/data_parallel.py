@@ -269,6 +269,11 @@ def dp_fit(
     if patience is not None and history["val_loss"]:
         b = int(np.argmin(history["val_loss"]))
         stale = len(history["val_loss"]) - 1 - b
+        if stale >= patience:
+            # restored history already met the stopping criterion: resume
+            # must not train further (round-4 advisor finding; see train.fit)
+            history["stopped_epoch"] = start_epoch - 1
+            start_epoch = epochs
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
@@ -313,6 +318,11 @@ def dp_fit(
                 stale += 1
             if stale >= patience:
                 history["stopped_epoch"] = epoch
+                if ckptr:
+                    # persist the stop into history.json (see train.fit)
+                    with open(os.path.join(checkpoint_dir,
+                                           "history.json"), "w") as fh:
+                        json.dump(history, fh)
                 if verbose:
                     print(f"early stopping: val_loss stale for "
                           f"{patience} epochs (best {best_val:.5f})")

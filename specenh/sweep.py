@@ -579,6 +579,12 @@ def sweep_fit_serial(
     from specenh.ops.ae_train_kernel import supports as _supports2
     from specenh.train import create_state, fit, kernel_epoch_for
 
+    if x_val is None or len(x_val) == 0:
+        raise ValueError(
+            "sweep requires a non-empty tune split (x_val/y_val): final "
+            "val_loss drives model selection (manual_scan.py:216-224); "
+            "sample more shots or adjust split fractions"
+        )
     epochs = train_cfg.epochs if epochs is None else epochs
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -703,6 +709,13 @@ def sweep_fit_serial_streamed(
     from specenh.train import create_state, kernel_epoch_for
     from specenh.train_stream import fit_streaming
 
+    if plan.n_tiles("tune") == 0:
+        raise ValueError(
+            "sweep requires a non-empty tune split: final val_loss drives "
+            "model selection (manual_scan.py:216-224); this plan's tune "
+            "split has zero tiles — sample more shots or adjust split "
+            "fractions"
+        )
     ps = PatchSpec() if ps is None else ps
     epochs = train_cfg.epochs if epochs is None else epochs
     if interpret is None:

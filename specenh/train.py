@@ -393,6 +393,15 @@ def fit(
     if cfg.patience is not None and history["val_loss"]:
         b = int(np.argmin(history["val_loss"]))
         stale = len(history["val_loss"]) - 1 - b
+        if stale >= cfg.patience:
+            # the restored history already satisfies the stopping
+            # criterion — an uninterrupted run stopped here, so a resume
+            # must not train one epoch further (round-4 advisor finding)
+            history["stopped_epoch"] = start_epoch - 1
+            start_epoch = epochs
+            if verbose:
+                print(f"resume: already early-stopped (val_loss stale "
+                      f"{stale} >= patience {cfg.patience})")
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
@@ -444,6 +453,13 @@ def fit(
                 stale += 1
             if stale >= cfg.patience:
                 history["stopped_epoch"] = epoch
+                if ckptr:
+                    # the epoch's history.json predates this key — rewrite
+                    # so the persisted history records the stop (resume
+                    # reads it back via the stale-seeding above)
+                    with open(os.path.join(checkpoint_dir,
+                                           "history.json"), "w") as fh:
+                        json.dump(history, fh)
                 if verbose:
                     print(f"early stopping: val_loss stale for "
                           f"{cfg.patience} epochs (best {best_val:.5f})")

@@ -58,11 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from specenh.config import PatchSpec, TrainConfig
-from specenh.data.grain_pipeline import (
-    RecordSlice,
-    _read_slice_tiles,
-    iter_record_slices,
-)
+from specenh.data.grain_pipeline import RecordSlice, iter_record_slices
 from specenh.data.tiles import n_tiles_for
 from specenh.io.store import SpectrogramStore
 from specenh.train import (
@@ -414,10 +410,14 @@ def fit_streaming(
                 "tile_cache requires canonical chunk composition; it cannot "
                 "combine with cache='never' (per-epoch record reshuffle)"
             )
-        from specenh.data.tilecache import build_tile_cache, open_tile_cache
+        from specenh.data.tilecache import (
+            build_tile_cache,
+            open_tile_cache,
+            store_identity,
+        )
 
         tc_dtype = "bf16" if cache_dtype == "bf16" else "f32"
-        sid = getattr(store, "path", "?")
+        sid = store_identity(store)
         for split, slices in (("train", plan.train), ("tune", plan.tune)):
             if not slices:
                 continue
@@ -538,6 +538,11 @@ def fit_streaming(
     if cfg.patience is not None and history["val_loss"]:
         b = int(np.argmin(history["val_loss"]))
         stale = len(history["val_loss"]) - 1 - b
+        if stale >= cfg.patience:
+            # restored history already met the stopping criterion: resume
+            # must not train further (round-4 advisor finding; see train.fit)
+            history["stopped_epoch"] = start_epoch - 1
+            start_epoch = epochs
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
@@ -580,6 +585,11 @@ def fit_streaming(
                 stale += 1
             if stale >= cfg.patience:
                 history["stopped_epoch"] = epoch
+                if ckptr:
+                    # persist the stop into history.json (see train.fit)
+                    with open(os.path.join(checkpoint_dir,
+                                           "history.json"), "w") as fh:
+                        json.dump(history, fh)
                 if verbose:
                     print(f"early stopping: val_loss stale for "
                           f"{cfg.patience} epochs (best {best_val:.5f})")

@@ -108,6 +108,14 @@ SMOKE_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    # nodeids are rootdir-relative: running from inside tests/ (or any
+    # rootdir other than the repo root) would never match the hard-coded
+    # "tests/..." prefixes — compare on basename::testid instead
+    smoke = {s.split("/")[-1] for s in SMOKE_TESTS}
     for item in items:
-        if item.nodeid in SMOKE_TESTS:
+        parts = item.nodeid.split("::", 1)
+        key = os.path.basename(parts[0])
+        if len(parts) > 1:
+            key += "::" + parts[1]
+        if key in smoke:
             item.add_marker(pytest.mark.smoke)

@@ -310,3 +310,30 @@ def test_kernel_engine_mosaic_fallback():
     ep2 = with_flax_fallback(other_boom, train_epoch)
     with pytest.raises(RuntimeError, match="not a compile problem"):
         ep2(state, x, y, bi, bm)
+
+
+def test_early_stopping_resume_does_not_overtrain(tmp_path):
+    """A run that early-stopped, resumed with the same args, must train
+    ZERO further epochs: history.json records the stop and the resume
+    seeds the stale counter past patience (round-4 advisor finding —
+    previously each resume trained one extra epoch past the stop)."""
+    import json
+    import os
+
+    from specenh.train import create_state, fit
+
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 64, 32, 1)).astype(np.float32)
+    y = (x > 0.5).astype(np.float32)
+    tc = TrainConfig(batch_size=8, seed=0, learning_rate=0.0, patience=2)
+    ck = str(tmp_path / "ck")
+    _, h1 = fit(create_state(SMALL, tc), x, y, x, y, cfg=tc, epochs=10,
+                checkpoint_dir=ck)
+    assert h1["stopped_epoch"] == 2 and len(h1["loss"]) == 3
+    with open(os.path.join(ck, "history.json")) as fh:
+        saved = json.load(fh)
+    assert saved.get("stopped_epoch") == 2  # the stop IS persisted
+    _, h2 = fit(create_state(SMALL, tc), x, y, x, y, cfg=tc, epochs=10,
+                checkpoint_dir=ck, resume=True)
+    assert h2["new_epochs"] == 0
+    assert len(h2["loss"]) == 3  # no extra epoch past the original stop

@@ -459,3 +459,32 @@ def test_sweep_serial_streamed_matches_resident(tmp_path):
     np.testing.assert_allclose(res_str.val_losses, res_res.val_losses, rtol=1e-6)
     assert res_str.best_index == res_res.best_index
     store.close()
+
+
+def test_sweep_serial_requires_tune_split(tmp_path):
+    """An empty tune split is a clear ValueError, not an IndexError at the
+    end of the grid (round-4 advisor finding): val_loss drives model
+    selection, so a sweep without one is a config error."""
+    from specenh.config import PatchSpec
+    from specenh.io.store import SpectrogramStore
+    from specenh.sweep import sweep_fit_serial, sweep_fit_serial_streamed
+    from specenh.train_stream import StreamPlan, plan_stream_split
+
+    cfgs = [ModelConfig(filters=(4, 4), kernels=((3, 3), (3, 3)),
+                        out_kernel=(3, 3), input_shape=SMALL)]
+    x, y = _data(8)
+    with pytest.raises(ValueError, match="non-empty tune split"):
+        sweep_fit_serial(cfgs, x, y, np.zeros((0, *SMALL), np.float32),
+                         np.zeros((0, *SMALL), np.float32), TrainConfig())
+    with pytest.raises(ValueError, match="non-empty tune split"):
+        sweep_fit_serial(cfgs, x, y, None, None, TrainConfig())
+
+    ps = PatchSpec(tile_freq=32, tile_time=16, step=16, tiles_per_spec=5)
+    store = SpectrogramStore(str(tmp_path / "s.hdf5"))
+    s = np.random.default_rng(0).random((32, 83)).astype(np.float32)
+    store.write_channel("101", 1, s, np.arange(32.0), np.arange(83.0), s * 0.5)
+    plan = plan_stream_split(store, num_samples=1, ps=ps, cfg=TrainConfig(), seed=0)
+    empty_tune = StreamPlan(plan.train + plan.tune, [], plan.test, plan.tile_shape)
+    with pytest.raises(ValueError, match="non-empty tune split"):
+        sweep_fit_serial_streamed(cfgs, store, empty_tune, TrainConfig(), ps=ps)
+    store.close()

@@ -431,3 +431,30 @@ def test_fit_streaming_tile_cache(stream_store, tmp_path):
     with pytest.raises(ValueError, match="canonical chunk composition"):
         fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
                       chunk_tiles=8, ps=PS, tile_cache=base, cache="never")
+
+
+def test_tile_cache_invalidated_by_store_rewrite(stream_store, tmp_path):
+    """store_identity binds the cache to the backing FILE (size+mtime),
+    not just its path: a store regenerated in place — same path, same
+    shot names/shapes, different bytes — must invalidate the fingerprint
+    (round-4 advisor finding)."""
+    from specenh.data.tilecache import (
+        build_tile_cache,
+        open_tile_cache,
+        store_identity,
+    )
+
+    cfg = TrainConfig(seed=1)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    base = str(tmp_path / "tc3")
+    sid = store_identity(stream_store)
+    assert stream_store.path in sid and ":" in sid
+    build_tile_cache(stream_store, plan.train, base, "train", PS, "f32",
+                     store_id=sid, chunk_tiles=8)
+    assert open_tile_cache(base, "train", sid, plan.train, PS, "f32") is not None
+    # simulate an in-place regeneration: bump the backing file's mtime
+    st = os.stat(stream_store.path)
+    os.utime(stream_store.path, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    sid2 = store_identity(stream_store)
+    assert sid2 != sid
+    assert open_tile_cache(base, "train", sid2, plan.train, PS, "f32") is None
