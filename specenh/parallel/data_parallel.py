@@ -131,7 +131,15 @@ def _put_sharded(a, sharding, n_dev: int):
 
     Already-device-resident inputs (the e2e paths hand us jax.Arrays) pad
     and reshard ON DEVICE — round-tripping through numpy would cost a
-    device->host pull plus a ~2 MB/s tunnel re-upload per tensor."""
+    device->host pull plus a ~2 MB/s tunnel re-upload per tensor.
+
+    bfloat16 host arrays are sharded AS bf16 (half the host->device bytes
+    — the binding term of a cached streamed epoch under a mesh): the
+    kernel engine casts its tile operands to bf16 anyway
+    (ae_train_kernel.tiles_to_x16) and the Flax engines promote bf16
+    inputs to f32 in the first conv, so the step equals the single-chip
+    stream's on the same bf16 chunks.  Any other non-f32 dtype still
+    normalizes to float32."""
     if isinstance(a, jax.Array):
         pad = (-a.shape[0]) % n_dev
         if pad:
@@ -139,7 +147,9 @@ def _put_sharded(a, sharding, n_dev: int):
                 [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
             )
         return jax.device_put(a, sharding)
-    a = np.asarray(a, np.float32)
+    a = np.asarray(a)
+    if a.dtype != np.float32 and a.dtype.name != "bfloat16":
+        a = a.astype(np.float32)
     pad = (-len(a)) % n_dev
     if pad:
         a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])

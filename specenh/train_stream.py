@@ -316,9 +316,11 @@ def fit_streaming(
     VALUE-EXACT: the fused kernel casts its tile operands to bf16 anyway
     (tiles_to_x16/tiles_to_y16), so bf16-rounded inputs produce the
     identical step.  With the Flax engines the inputs are bf16-rounded
-    before the f32 math (~1e-3 input quantization) — opt-in.  Under
-    ``mesh`` the shard placement casts back to f32 (upload savings do
-    not apply there yet).
+    before the f32 math (~1e-3 input quantization) — opt-in.  Composes
+    with ``mesh``: chunks shard onto the data axis AS bf16 (half the
+    per-epoch upload there too), and the sharded step equals the
+    single-chip stream's on the same bf16 chunks (bf16->f32 promotion is
+    exact; parity pinned by test_fit_streaming_mesh_bf16).
 
     ``tile_cache`` (a base path) persists the canonical tile stream ON
     DISK, pre-tiled and in the chunk dtype (``data.tilecache``): the

@@ -458,3 +458,48 @@ def test_tile_cache_invalidated_by_store_rewrite(stream_store, tmp_path):
     sid2 = store_identity(stream_store)
     assert sid2 != sid
     assert open_tile_cache(base, "train", sid2, plan.train, PS, "f32") is None
+
+
+def test_fit_streaming_mesh_bf16_matches_single_chip(stream_store):
+    """cache_dtype='bf16' composes with mesh streaming (round-4 verdict
+    gap): chunks shard onto the data axis AS bf16 — no f32 round-trip —
+    and the trajectory matches the single-chip bf16 stream (bf16->f32
+    promotion in the Flax step is exact, so only reduction order
+    differs).  Also asserts the sharded operand really is bf16 (the
+    upload-halving claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from specenh.parallel import data_parallel as dp
+    from specenh.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(epochs=2, seed=0, shuffle=True, batch_size=8)
+    plan = plan_stream_split(stream_store, num_samples=3, ps=PS, cfg=cfg, seed=3)
+    s1, h1 = fit_streaming(create_state(TINY, cfg), stream_store, plan, cfg,
+                           chunk_tiles=8, ps=PS, cache_dtype="bf16")
+    mesh = make_mesh(8, ("data",))
+    put_dtypes = []
+    orig_put = dp._put_sharded
+
+    def spy_put(a, sharding, n_dev):
+        out = orig_put(a, sharding, n_dev)
+        put_dtypes.append(out.dtype)
+        return out
+
+    # fit_streaming imports _put_sharded from data_parallel at call time,
+    # so patching the module attribute intercepts the shard placement
+    dp._put_sharded = spy_put
+    try:
+        s2, h2 = fit_streaming(create_state(TINY, cfg), stream_store, plan,
+                               cfg, chunk_tiles=8, ps=PS, mesh=mesh,
+                               cache_dtype="bf16")
+    finally:
+        dp._put_sharded = orig_put
+    assert put_dtypes and all(d == jnp.bfloat16 for d in put_dtypes)
+    np.testing.assert_allclose(h2["loss"], h1["loss"], rtol=2e-5)
+    np.testing.assert_allclose(h2["val_loss"], h1["val_loss"], rtol=2e-5)
+    pa = np.asarray(s1.params["params"]["enc_conv0"]["kernel"])
+    pb = np.asarray(s2.params["params"]["enc_conv0"]["kernel"])
+    np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
