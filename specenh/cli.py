@@ -264,12 +264,28 @@ def cmd_train(args):
         # bounded test sample for the display artifacts (the full test
         # split may not fit in host/device memory on streamed campaigns);
         # an empty test split (tiny datasets: int(n*0.85) == n) just skips
-        # the display block below
-        from specenh.train_stream import _iter_chunks
+        # the display block below.  With --tile-cache the test split rides
+        # the memmap path like train/tune: the first run builds
+        # <base>.test.tiles in one store pass, later runs (sweeps,
+        # re-recipes) do zero HDF5 data reads for the artifact stage.
+        x_test = None
+        if plan.n_tiles("test"):
+            if args.tile_cache:
+                from specenh.data.tilecache import open_or_build
 
-        chunk = next(_iter_chunks(store, plan.test, PatchSpec(), 512), None) \
-            if plan.n_tiles("test") else None
-        x_test = chunk[0] if chunk is not None else None
+                tc_dtype = "bf16" if args.chunk_dtype == "bf16" else "f32"
+                r_test = open_or_build(
+                    store, plan.test, args.tile_cache, "test", PatchSpec(),
+                    tc_dtype, verbose=not args.quiet,
+                )
+                x_test = np.asarray(r_test.read(0, min(512, r_test.n))[0],
+                                    np.float32)
+            else:
+                from specenh.train_stream import _iter_chunks
+
+                chunk = next(_iter_chunks(store, plan.test, PatchSpec(), 512),
+                             None)
+                x_test = chunk[0] if chunk is not None else None
     elif devices > 1:
         from specenh.parallel.data_parallel import dp_fit
         from specenh.parallel.mesh import make_mesh
@@ -329,7 +345,7 @@ def cmd_train(args):
         preds = np.squeeze(np.asarray(predict(state, jnp.asarray(x_test))), -1)
         noisy = np.asarray(unpatch(jnp.asarray(np.squeeze(x_test, -1)), tiles_per_spec=k_tiles))
         final = np.asarray(unpatch(jnp.asarray(preds), tiles_per_spec=k_tiles))
-        d = store.read_channel(sample_shot, 1)
+        d = store.read_axes(sample_shot, 1)  # axes only: no spec data read
         display(noisy, final, os.path.join(args.out_dir, "ex_specs.png"), d["f"], d["t"], seed=0)
     elif not args.quiet:
         print("test split too small for ex_specs.png; skipped")
@@ -351,21 +367,53 @@ def cmd_train(args):
     shot_key = f"ece_{args.bench_shot}" if f"ece_{args.bench_shot}" in store.shots() else sample_shot
     t_predict = 0.0
     chns = store.channels_of(shot_key)
-    for i in chns:
-        d = store.read_channel(shot_key, i)
-        tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
+
+    # --tile-cache: the bench shot's (spec, pipeline_out) tiles ride the
+    # memmap path too — a <base>.bench.tiles cache built once, so repeat
+    # runs' t_pred/plot_chn stage does zero HDF5 data reads (only the
+    # KB-scale f/t axes come from the store)
+    bench_reader = None
+    if use_stream and args.tile_cache:
+        from specenh.data.grain_pipeline import RecordSlice
+        from specenh.data.tilecache import open_or_build
+        from specenh.data.tiles import n_tiles_for
+
+        ks = [n_tiles_for(store.spec_shape(shot_key, i)[-1], PatchSpec())
+              for i in chns]
+        bench_plan = [RecordSlice(shot_key, i, 0, k)
+                      for i, k in zip(chns, ks)]
+        tc_dtype = "bf16" if args.chunk_dtype == "bf16" else "f32"
+        bench_reader = open_or_build(
+            store, bench_plan, args.tile_cache, "bench", PatchSpec(),
+            tc_dtype, verbose=not args.quiet,
+        )
+        bench_offs = np.concatenate([[0], np.cumsum(ks)])
+
+    for j, i in enumerate(chns):
+        if bench_reader is not None:
+            xt, yt = bench_reader.read(int(bench_offs[j]),
+                                       int(bench_offs[j + 1]))
+            tiles = np.asarray(xt, np.float32)
+            pipe_tiles = np.asarray(yt, np.float32)[..., 0]
+        else:
+            d = store.read_channel(shot_key, i)
+            tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
+            pipe_tiles = None  # patched lazily in the plot branch
         start = time.time()
         p = prod_predict(state.params, jnp.asarray(tiles))
         np.asarray(p.ravel()[:1])  # sync (tunnelled TPU: block_until_ready lies)
         t_predict += time.time() - start
         p = jnp.asarray(p, jnp.float32)  # bf16-path outputs -> plottable
         if i in (10, 11, 12):
+            if pipe_tiles is None:
+                pipe_tiles = np.asarray(patch(jnp.asarray(d["pipeline_out"][None])))
+            ax = store.read_axes(shot_key, i)
             plt_spec_shot(
                 np.asarray(unpatch(jnp.asarray(tiles[..., 0]), tiles_per_spec=k_tiles))[0],
                 np.asarray(unpatch(jnp.squeeze(p, -1), tiles_per_spec=k_tiles))[0],
-                np.asarray(unpatch(jnp.asarray(patch(jnp.asarray(d["pipeline_out"][None]))), tiles_per_spec=k_tiles))[0],
+                np.asarray(unpatch(jnp.asarray(pipe_tiles), tiles_per_spec=k_tiles))[0],
                 shot_key, i, os.path.join(args.out_dir, f"plot_chn_{i}.png"),
-                d["f"], d["t"],
+                ax["f"], ax["t"],
             )
     t_predict /= max(len(chns), 1)
     with open(os.path.join(args.out_dir, "t_pred.txt"), "w") as fh:

@@ -44,6 +44,7 @@ __all__ = [
     "store_identity",
     "build_tile_cache",
     "open_tile_cache",
+    "open_or_build",
     "TileCacheReader",
 ]
 
@@ -188,6 +189,30 @@ def build_tile_cache(
         json.dump({"fingerprint": plan_fingerprint(sid, slices, ps, dtype),
                    "n": n, "f": f, "w": w, "dtype": dtype}, fh)
     return bin_path
+
+
+def open_or_build(
+    store,
+    slices: Sequence,
+    base: str,
+    split: str,
+    ps: PatchSpec = PatchSpec(),
+    dtype: str = "f32",
+    chunk_tiles: int = 4096,
+    verbose: bool = False,
+) -> "TileCacheReader":
+    """Reader for ``slices``' canonical tile stream, building the cache
+    first if absent/stale (the usual entry point: fit_streaming's
+    train/tune/test readers and the CLI artifact stages)."""
+    sid = store_identity(store)
+    r = open_tile_cache(base, split, sid, slices, ps, dtype)
+    if r is None:
+        if verbose:
+            print(f"building tile cache ({split}, {dtype}) at {base} ...")
+        build_tile_cache(store, slices, base, split, ps, dtype,
+                         store_id=sid, chunk_tiles=chunk_tiles)
+        r = open_tile_cache(base, split, sid, slices, ps, dtype)
+    return r
 
 
 def open_tile_cache(

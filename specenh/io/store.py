@@ -212,6 +212,14 @@ class SpectrogramStore:
         grp = self._file_of(name)[name]
         return {k: np.asarray(grp[k]) for k in ("spec", "f", "t", "pipeline_out")}
 
+    def read_axes(self, shot_group: str, chn: int) -> Dict[str, np.ndarray]:
+        """Just the (f, t) axis vectors — KBs, not the MB-scale spec data.
+        The artifact stages use this when the tile data itself comes from
+        the pre-tiled cache (cli.cmd_train --tile-cache)."""
+        name = f"{shot_group}/chn_{chn}"
+        grp = self._file_of(name)[name]
+        return {k: np.asarray(grp[k]) for k in ("f", "t")}
+
     def read_column_slice(
         self, shot_group: str, chn: int, c0: int, c1: int
     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -412,27 +412,16 @@ def fit_streaming(
                 "tile_cache requires canonical chunk composition; it cannot "
                 "combine with cache='never' (per-epoch record reshuffle)"
             )
-        from specenh.data.tilecache import (
-            build_tile_cache,
-            open_tile_cache,
-            store_identity,
-        )
+        from specenh.data.tilecache import open_or_build
 
         tc_dtype = "bf16" if cache_dtype == "bf16" else "f32"
-        sid = store_identity(store)
         for split, slices in (("train", plan.train), ("tune", plan.tune)):
             if not slices:
                 continue
-            r = open_tile_cache(tile_cache, split, sid, slices, ps, tc_dtype)
-            if r is None:
-                if verbose:
-                    print(f"building tile cache ({split}, {tc_dtype}) at "
-                          f"{tile_cache} ...")
-                build_tile_cache(store, slices, tile_cache, split, ps,
-                                 tc_dtype, store_id=sid)
-                r = open_tile_cache(tile_cache, split, sid, slices, ps,
-                                    tc_dtype)
-            tile_readers[split] = r
+            tile_readers[split] = open_or_build(
+                store, slices, tile_cache, split, ps, tc_dtype,
+                verbose=verbose,
+            )
             sizes = [sum(s.n_tiles for s in p) for p in chunk_plans[split]]
             chunk_offs[split] = np.concatenate([[0], np.cumsum(sizes)])
 

@@ -301,3 +301,37 @@ def test_sweep_streamed_cli(workspace, capfd):
         main(["sweep", "--dataset", ds, "--out-dir", out, "--grid", "kernel",
               "--epochs", "1", "--num-shots", "2", "--engine", "kernel",
               "--tile-cache", "/tmp/x", "--quiet"])
+
+
+def test_train_tile_cache_artifacts_zero_data_reads(workspace, capfd, monkeypatch):
+    """Round-4 verdict: with --tile-cache the SECOND run's whole journey —
+    training AND the artifact stage (x_test sample, ex_specs, t_pred,
+    plot_chn) — does zero HDF5 *data* reads (only KB-scale f/t axes and
+    shape metadata come from the store)."""
+    ds = _ensure_dataset(workspace, capfd)
+    from specenh.io.store import SpectrogramStore
+
+    base = str(workspace / "tc_train")
+    main(["train", "--dataset", ds, "--out-dir", str(workspace / "t_tc1"),
+          "--epochs", "1", "--num-shots", "2", "--stream", "always",
+          "--tile-cache", base, "--quiet"])
+    capfd.readouterr()
+    # the artifact-stage caches exist alongside the train/tune ones
+    for split in ("train", "tune", "test", "bench"):
+        assert os.path.exists(f"{base}.{split}.tiles"), split
+
+    reads = {"n": 0}
+    for name in ("read_column_slice", "read_channel", "read_spec_and_labels"):
+        orig = getattr(SpectrogramStore, name)
+
+        def counting(self, *a, _o=orig, **k):
+            reads["n"] += 1
+            return _o(self, *a, **k)
+
+        monkeypatch.setattr(SpectrogramStore, name, counting)
+    main(["train", "--dataset", ds, "--out-dir", str(workspace / "t_tc2"),
+          "--epochs", "1", "--num-shots", "2", "--stream", "always",
+          "--tile-cache", base, "--quiet"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["val_loss"]) and out["t_pred"] > 0
+    assert reads["n"] == 0, f"second run still read store data {reads['n']}x"
