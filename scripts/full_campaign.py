@@ -6,17 +6,27 @@ Reproduces the reference's end-to-end workflow at its REAL workload shape
   1. N shots x 20 channels x 2 s @ 500 kHz raw traces (SPEC binaries)
   2. streaming campaign: native prefetch -> fused STFT+pipeline -> HDF5
   3. training: scan_k3 autoencoder, batch 128, tile split (reference recipe)
-  4. vmapped kernel-size sweep [(3,3),(5,5),(7,7)]
+  4. kernel-size sweep [(3,3),(5,5),(7,7)] (vmapped resident, or streamed
+     per-config when --stream)
   5. SVD denoise + artifacts
   6. reports wall-clock for every stage + quality metrics
 
 Run: python scripts/full_campaign.py [workdir] [n_shots] [--stream]
          [--engine f32|bf16|kernel] [--writers N] [--epochs N]
+         [--sweep-epochs N] [--chunk-dtype bf16] [--tile-cache]
+         [--devices N]
 
---stream forces the host-streamed training epoch (the 200-shot-recipe
-mechanism; auto-engages anyway when the tile tensors exceed the HBM
-budget), --engine kernel runs the fused Pallas training kernels, and
---writers N shards the campaign's HDF5 persist stage.
+--stream forces the host-streamed training epoch on BOTH the train and
+sweep stages (the 200-shot-recipe mechanism; train auto-engages anyway
+when the tile tensors exceed the HBM budget; the streamed sweep runs the
+fused kernel engine).  --chunk-dtype bf16 halves the chunk cache RAM and
+per-epoch upload (value-exact with the kernel engine) and --tile-cache
+persists the pre-tiled stream under <workdir>/tiles so the sweep's
+configs 2..N (and any re-run) skip the HDF5 pass entirely — the round-4
+streaming levers, on by the flags that shipped them.  Both imply
+--stream.  --engine kernel runs the fused Pallas training kernels,
+--writers N shards the campaign's HDF5 persist stage, and --devices N
+shards training/sweep over a ('data',) mesh.
 """
 
 import json
@@ -33,12 +43,27 @@ from specenh.utils.logging import SpanTimer
 
 
 def run(workdir="out/full_campaign", n_shots=5, stream=False, engine=None,
-        writers=1, epochs=15):
+        writers=1, epochs=15, sweep_epochs=3, chunk_dtype=None,
+        tile_cache=False, devices=0):
     os.makedirs(workdir, exist_ok=True)
+    # the streamed-only levers imply streaming (the CLI's stray-flag
+    # policy would otherwise abort a small auto-resident run)
+    if chunk_dtype or tile_cache:
+        stream = True
     t = SpanTimer()
     raw = os.path.join(workdir, "raw")
     bins = os.path.join(workdir, "bin")
     ds = os.path.join(workdir, "specs.hdf5")
+    tc_base = os.path.join(workdir, "tiles") if tile_cache else None
+
+    stream_flags = []
+    if stream:
+        stream_flags += ["--stream", "always"]
+        if chunk_dtype:
+            stream_flags += ["--chunk-dtype", chunk_dtype]
+        if tc_base:
+            stream_flags += ["--tile-cache", tc_base]
+    dev_flags = ["--devices", str(devices)] if devices > 1 else []
 
     with t("1_synth"):
         cli(["synth-shots", "--out", raw, "--shots", str(n_shots),
@@ -52,13 +77,24 @@ def run(workdir="out/full_campaign", n_shots=5, stream=False, engine=None,
         cli(["train", "--dataset", ds, "--out-dir", os.path.join(workdir, "train"),
              "--model", "scan_k3", "--epochs", str(epochs),
              "--num-shots", str(n_shots)]
-            + (["--stream", "always"] if stream else [])
+            + stream_flags
             + (["--engine", engine] if engine else [])
+            + dev_flags
             + ["--quiet"])
     with t("5_sweep"):
+        # streamed sweeps run per-config fit_streaming on the fused kernel
+        # engine (the only engine the streamed grid supports) and share the
+        # SAME tile-cache base as the train stage: configs 2..N and any
+        # re-run memmap the pre-tiled stream instead of re-reading HDF5
+        # (sweep's engines are envelope|kernel — the train-only f32/bf16
+        # engines don't pass through)
+        sweep_engine = ["--engine", "kernel"] if (stream or engine == "kernel") \
+            else []
         cli(["sweep", "--dataset", ds, "--out-dir", os.path.join(workdir, "sweep"),
-             "--grid", "kernel", "--epochs", "3", "--num-shots", str(n_shots),
-             "--quiet"])
+             "--grid", "kernel", "--epochs", str(sweep_epochs),
+             "--num-shots", str(n_shots)]
+            + stream_flags + sweep_engine + dev_flags
+            + ["--quiet"])
     with t("6_svd"):
         cli(["denoise", "--dataset", ds, "--out-dir", os.path.join(workdir, "svd")])
 
@@ -77,10 +113,19 @@ if __name__ == "__main__":
     ap.add_argument("workdir", nargs="?", default="out/full_campaign")
     ap.add_argument("n_shots", nargs="?", type=int, default=5)
     ap.add_argument("--stream", action="store_true",
-                    help="force the host-streamed training epoch")
+                    help="force the host-streamed training epoch (train + sweep)")
     ap.add_argument("--engine", choices=["f32", "bf16", "kernel"], default=None)
     ap.add_argument("--writers", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--sweep-epochs", type=int, default=3)
+    ap.add_argument("--chunk-dtype", choices=["f32", "bf16"], default=None,
+                    help="streamed chunk/cache dtype (bf16 halves RAM+upload; implies --stream)")
+    ap.add_argument("--tile-cache", action="store_true",
+                    help="persist the pre-tiled stream under <workdir>/tiles (implies --stream)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard training/sweep over a ('data',) mesh")
     a = ap.parse_args()
     run(a.workdir, a.n_shots, stream=a.stream, engine=a.engine,
-        writers=a.writers, epochs=a.epochs)
+        writers=a.writers, epochs=a.epochs, sweep_epochs=a.sweep_epochs,
+        chunk_dtype=a.chunk_dtype, tile_cache=a.tile_cache,
+        devices=a.devices)
