@@ -26,6 +26,15 @@ __all__ = ["make_enhance_shot_fn", "make_production_predict_fn", "time_fn",
            "example_shot"]
 
 
+def _prepared_types():
+    """The device-ready scattered-weight handle types the serving fns
+    accept in place of Flax params (see ``fn.prepare``)."""
+    from specenh.ops.ae3_kernel import AE3KernelWeights
+    from specenh.ops.ae_kernel import AEKernelWeights
+
+    return (AEKernelWeights, AE3KernelWeights)
+
+
 def make_production_predict_fn(
     model_cfg: ModelConfig,
     dtype=jnp.bfloat16,
@@ -57,11 +66,20 @@ def make_production_predict_fn(
     )
     if not kernel_on or build_wts is None:
         model = make_model(model_cfg, dtype=dtype)
-        return jax.jit(lambda params, tiles: model.apply(params, tiles))
+        jf = jax.jit(lambda params, tiles: model.apply(params, tiles))
 
+        def fn(params, tiles):
+            return jf(params, tiles)
+
+        fn.prepare = lambda params: params  # Flax path: nothing to scatter
+        return fn
+
+    prepared = _prepared_types()
     wts_cache = {}
 
     def fn(params, tiles):
+        if isinstance(params, prepared):
+            return kernel_apply(params, tiles, interpret=interpret)
         hit = wts_cache.get(id(params))
         if hit is None or hit[0] is not params:
             wts_cache.clear()
@@ -70,6 +88,15 @@ def make_production_predict_fn(
             wts_cache[id(params)][1], tiles, interpret=interpret
         )
 
+    # pre-scattered device handle (round-4 verdict #5): build once, pass
+    # to fn in place of Flax params — the hot path skips the per-call
+    # cache lookup and the first-call scatter entirely
+    def prepare(params):
+        if isinstance(params, prepared):
+            return params
+        return build_wts(params, model_cfg)
+
+    fn.prepare = prepare
     return fn
 
 
@@ -239,6 +266,7 @@ def make_enhance_shot_fn(
 
         # cache the host-scattered kernel weights per params object; the
         # strong reference to params prevents id() reuse after GC
+        prepared = _prepared_types()
         wts_cache = {}
 
         def fn(params, traces):
@@ -249,6 +277,8 @@ def make_enhance_shot_fn(
                     f"'{axis}' axis size ({mesh.shape[axis]}); use the "
                     "Flax path (use_kernel=False) for uneven counts"
                 )
+            if isinstance(params, prepared):
+                return enhance_shot_kernel(params, traces)
             hit = wts_cache.get(id(params))
             if hit is None or hit[0] is not params:
                 wts_cache.clear()
@@ -257,6 +287,14 @@ def make_enhance_shot_fn(
                 )
             return enhance_shot_kernel(wts_cache[id(params)][1], traces)
 
+        # pre-scattered device handle (round-4 verdict #5): resident
+        # services (EnhanceService, the bench) prepare once and serve many
+        def prepare(params):
+            if isinstance(params, prepared):
+                return params
+            return build_wts(params, model_cfg)
+
+        fn.prepare = prepare
         return fn
 
     def enhance_shot(params, traces):
@@ -266,17 +304,23 @@ def make_enhance_shot_fn(
         return specs, unpatch(jnp.squeeze(pred, -1), ps, tiles_per_spec=k_tiles)
 
     if mesh is None:
-        return jax.jit(enhance_shot)
+        jf = jax.jit(enhance_shot)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        chan = NamedSharding(mesh, P(axis))
+        jf = jax.jit(
+            enhance_shot,
+            in_shardings=(repl, chan),
+            out_shardings=(chan, chan),
+        )
 
-    repl = NamedSharding(mesh, P())
-    chan = NamedSharding(mesh, P(axis))
-    return jax.jit(
-        enhance_shot,
-        in_shardings=(repl, chan),
-        out_shardings=(chan, chan),
-    )
+    def fn(params, traces):
+        return jf(params, traces)
+
+    fn.prepare = lambda params: params  # Flax path: nothing to scatter
+    return fn
 
 
 def example_shot(

@@ -364,6 +364,8 @@ def cmd_train(args):
     from specenh.bench.harness import make_production_predict_fn
 
     prod_predict = make_production_predict_fn(model_cfg)
+    # pre-scattered weight handle: production-serving configuration
+    prod_params = prod_predict.prepare(state.params)
     shot_key = f"ece_{args.bench_shot}" if f"ece_{args.bench_shot}" in store.shots() else sample_shot
     t_predict = 0.0
     chns = store.channels_of(shot_key)
@@ -400,7 +402,7 @@ def cmd_train(args):
             tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
             pipe_tiles = None  # patched lazily in the plot branch
         start = time.time()
-        p = prod_predict(state.params, jnp.asarray(tiles))
+        p = prod_predict(prod_params, jnp.asarray(tiles))
         np.asarray(p.ravel()[:1])  # sync (tunnelled TPU: block_until_ready lies)
         t_predict += time.time() - start
         p = jnp.asarray(p, jnp.float32)  # bf16-path outputs -> plottable
@@ -693,6 +695,7 @@ def cmd_sweep(args):
         for ci, mc in enumerate(res.configs):
             p_i = extract_config_params(res.stacked_params, ci, mc, res.env)
             f = make_production_predict_fn(mc)
+            p_i = f.prepare(p_i)  # pre-scattered handle (serving config)
             np.asarray(f(p_i, tile_batch).ravel()[:1])  # compile+sync
             t0 = _time.perf_counter()
             out = None

@@ -63,7 +63,10 @@ class EnhanceService:
                 jax.random.PRNGKey(0),
                 np.zeros((1, *model_cfg.input_shape), np.float32),
             )
-        self.params = params
+        # pre-scatter the kernel serving weights once (identity on the
+        # Flax path): every enhance() call then skips the per-call weight
+        # cache entirely
+        self.params = self.fn.prepare(params)
         self._f = spectrogram_freqs(cfg.spec)
         self._t = spectrogram_times(cfg.spec)
 

@@ -264,3 +264,38 @@ def test_enhance_specs_vs_flax(setup):
     )
     assert np.max(np.abs(out - ref)) < 5e-3
     assert np.mean(np.abs(out - ref)) < 2e-4
+
+
+def test_prepared_weight_handle_matches_params_path(setup):
+    """fn.prepare(params) returns the device weight handle; passing it in
+    place of Flax params gives the identical output on both serving
+    factories, and the Flax path's prepare is the identity (round-4
+    verdict #5: resident services pre-scatter once)."""
+    from specenh.bench.harness import (
+        make_enhance_shot_fn,
+        make_production_predict_fn,
+    )
+    from specenh.config import SpecParams
+
+    model, params, tiles = setup
+    sp = SpecParams(cut_shot=0.2)
+    rng = np.random.default_rng(29)
+    traces = jnp.asarray(rng.standard_normal((2, sp.n_samples)), jnp.float32)
+
+    fk = make_enhance_shot_fn(DEEP3, sp, use_kernel=True, interpret=True)
+    handle = fk.prepare(params)
+    assert isinstance(handle, AK3.AE3KernelWeights)
+    assert fk.prepare(handle) is handle  # idempotent
+    s1, e1 = fk(params, traces)
+    s2, e2 = fk(handle, traces)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    fp = make_production_predict_fn(DEEP3, use_kernel=True, interpret=True)
+    hp = fp.prepare(params)
+    np.testing.assert_array_equal(
+        np.asarray(fp(params, tiles)), np.asarray(fp(hp, tiles))
+    )
+
+    ff = make_enhance_shot_fn(DEEP3, sp, use_kernel=False)
+    assert ff.prepare(params) is params  # Flax path: identity
