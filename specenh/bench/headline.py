@@ -169,7 +169,7 @@ def measure_svd(n_channels: int = 20) -> dict:
     import jax.numpy as jnp
 
     from specenh.bench.harness import time_fn
-    from specenh.bench.reference_cpu import svd_denoise_ref
+    from specenh.bench.reference_cpu import svd_compute_signal_ref, svd_denoise_ref
     from specenh.ops.svd import compute_signal, denoise_signal
     from specenh.utils.metrics import ssim
 
@@ -199,13 +199,43 @@ def measure_svd(n_channels: int = 20) -> dict:
         raise SystemExit(f"quality gate failed: SVD denoise SSIM {q:.4f} < 0.99")
     print(f"# SVD denoise SSIM vs numpy reference: {q:.6f}", file=sys.stderr)
 
+    # compute_signal is quality-gated too (round-4 verdict #6): the
+    # Gram-eigh default is exactly the TPU-numerics path a regression
+    # would silently corrupt.  Gated on a WELL-CONDITIONED matrix (a
+    # distinct geometric spectrum, sigma_k = 100*0.93^k): the reference
+    # quirk keeps components 1..2*num_sing-1, which on noisy data reach
+    # into the DEGENERATE noise subspace where fp32-vs-f64 SVDs
+    # legitimately rotate (SSIM ~0.97 with no bug present) — separated
+    # singular values make every kept component well-determined, so the
+    # gate fails only on a real numerics regression.
+    @jax.jit
+    def gen_gate(key):
+        ka, kb = jax.random.split(key)
+        q1, _ = jnp.linalg.qr(jax.random.normal(ka, (F, F)))
+        q2, _ = jnp.linalg.qr(jax.random.normal(kb, (T, F)))
+        s = 100.0 * 0.93 ** jnp.arange(F, dtype=jnp.float32)
+        return (q1 * s) @ q2.T
+
+    cs = jax.jit(compute_signal)
+    xg = gen_gate(jax.random.PRNGKey(11))
+    xg0 = np.asarray(xg)
+    csig = np.asarray(cs(xg[None])[0])
+    q2 = ssim(csig, svd_compute_signal_ref(xg0))
+    if q2 < 0.99:
+        raise SystemExit(
+            f"quality gate failed: SVD compute_signal SSIM {q2:.4f} < 0.99"
+        )
+    print(f"# SVD compute_signal SSIM vs numpy reference: {q2:.6f}",
+          file=sys.stderr)
+
+    # iters=24 (was 8): the round-4 noise table put this line at ±12%,
+    # wide enough to hide a real 10% regression
     rec = {}
-    sec = time_fn(denoise_signal, x, iters=8, warmup=2)
+    sec = time_fn(denoise_signal, x, iters=24, warmup=2)
     rec["svd_specs_per_sec"] = round(n_channels / sec, 1)
     print(f"# svd denoise: {sec * 1e3 / n_channels:.2f} ms/spec, "
           f"{n_channels / sec:.0f} specs/s", file=sys.stderr)
-    cs = jax.jit(compute_signal)
-    sec = time_fn(cs, x, iters=8, warmup=2)
+    sec = time_fn(cs, x, iters=24, warmup=2)
     rec["svd_compute_specs_per_sec"] = round(n_channels / sec, 1)
     print(f"# svd compute_signal: {sec * 1e3 / n_channels:.2f} ms/spec, "
           f"{n_channels / sec:.0f} specs/s", file=sys.stderr)
@@ -277,14 +307,22 @@ def measure_stream_host(n_shots: int = 6, chunk_tiles: int = 4096) -> dict:
         plan = plan_stream_split(store, num_samples=n_shots)
         plans = _chunk_plans(plan.train, chunk_tiles)
         ps = PatchSpec()
-        _read_chunk(store, plans[0], ps)  # warm h5py/page-cache metadata
-        t0 = time.perf_counter()
-        nbytes = n_tiles = 0
-        for p in plans:
-            x, y = _read_chunk(store, p, ps)
-            nbytes += x.nbytes + y.nbytes
-            n_tiles += len(x)
-        dt = time.perf_counter() - t0
+
+        def one_pass():
+            t0 = time.perf_counter()
+            nb = nt = 0
+            for p in plans:
+                x, y = _read_chunk(store, p, ps)
+                nb += x.nbytes + y.nbytes
+                nt += len(x)
+            return nb, nt, time.perf_counter() - t0
+
+        # median of 3 warm passes (round-4 noise table: the one-shot
+        # measurement carried ±18% from VM CPU bursts); pass 0 warms the
+        # page cache so the metric tracks the host assembly pipeline
+        one_pass()
+        runs = [one_pass() for _ in range(3)]
+        nbytes, n_tiles, dt = sorted(runs, key=lambda r: r[2])[1]
     gbps = nbytes / dt / 2**30
     print(f"# stream host pipeline: {n_tiles / dt:.0f} tiles/s, "
           f"{gbps:.2f} GB/s ({n_tiles} tiles, {nbytes / 2**30:.2f} GB); "
