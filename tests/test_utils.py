@@ -145,6 +145,12 @@ def test_initialize_distributed_two_processes(tmp_path):
     datas = [json.load(open(r)) for r in results]
     assert [d["pid"] for d in datas] == [0, 1]
     assert all(d["n"] == 2 for d in datas)
+    # the cross-process gradient psum ran (gloo): both processes saw the
+    # same replicated loss, equal to the single-process step's (the
+    # worker also asserts updated-params parity before reporting)
+    assert datas[0]["loss_dp"] == datas[1]["loss_dp"]
+    for d in datas:
+        assert abs(d["loss_dp"] - d["loss_single"]) < 1e-5
     # strided host_shard: disjoint, complete
     all_shots = sorted(datas[0]["shard"] + datas[1]["shard"])
     assert all_shots == [f"30{i}" for i in range(5)]
