@@ -365,6 +365,8 @@ def make_sharded_enhance_shot(
     axis: str = "time",
     dtype=None,
     n_samples: int = None,
+    use_kernel: object = "auto",
+    interpret: bool = False,
 ):
     """ONE device program taking a single long shot end-to-end across the
     mesh — the composed long-context path:
@@ -389,6 +391,15 @@ def make_sharded_enhance_shot(
 
     ``n_samples``: the trace length (defaults to ``sp.n_samples``), used to
     validate the geometry eagerly.
+
+    ``use_kernel``: the conv-AE stage runs as the fused Pallas serving
+    kernel (ops.ae_kernel / ops.ae3_kernel — 2-3x the XLA conv path,
+    measured) on each time-shard's local tiles — the kernel is per-tile
+    and the tile axis IS the time axis, so it composes with the halo
+    machinery unchanged.  "auto" enables it off-CPU on covered
+    geometries, True forces (raises if uncovered), False keeps the Flax
+    model.  Pass the pre-scattered handle (``fn.prepare(params)``) to
+    skip the per-params scatter, exactly like bench.harness serving.
     """
     from specenh.config import ModelConfig, PatchSpec
     from specenh.data.tiles import patch, unpatch
@@ -423,16 +434,45 @@ def make_sharded_enhance_shot(
         )
     k_tiles = k // ps.tile_time
 
-    def fn(params, xl):
-        s = _spectrogram_local(xl, sp, k, axis)  # (..., F, k)
-        labels = _enhance_local(s, pipe_cfg, axis)
-        was2d = s.ndim == 2
-        tiles = patch(s, ps)[..., None]  # (n_batch*k_tiles, F, w, 1)
-        pred = model.apply(params, tiles)
-        enh = unpatch(jnp.squeeze(pred, -1), ps, tiles_per_spec=k_tiles)
-        if was2d:
-            enh = enh[0]
-        return s, labels, enh
+    from specenh.bench.harness import _kernel_family, _prepared_types
+
+    build_wts, _, kernel_enhance_specs = _kernel_family(model_cfg)
+    if use_kernel is True and build_wts is None:
+        raise NotImplementedError(
+            f"no fused kernel covers this geometry: {model_cfg}"
+        )
+    kernel_on = build_wts is not None and (
+        use_kernel is True
+        or (use_kernel == "auto" and jax.default_backend() not in ("cpu",))
+    )
+
+    if kernel_on:
+
+        def fn(wts, xl):
+            s = _spectrogram_local(xl, sp, k, axis)  # (..., F, k)
+            labels = _enhance_local(s, pipe_cfg, axis)
+            was2d = s.ndim == 2
+            s3 = s[None] if was2d else s
+            # the fused serving fast path on the shard's local tiles
+            # (Pallas corner-turn in, kernel, corner-turn out == the
+            # patch -> apply -> unpatch below)
+            enh = kernel_enhance_specs(wts, s3, k_tiles, interpret=interpret)
+            if was2d:
+                enh = enh[0]
+            return s, labels, enh
+
+    else:
+
+        def fn(params, xl):
+            s = _spectrogram_local(xl, sp, k, axis)  # (..., F, k)
+            labels = _enhance_local(s, pipe_cfg, axis)
+            was2d = s.ndim == 2
+            tiles = patch(s, ps)[..., None]  # (n_batch*k_tiles, F, w, 1)
+            pred = model.apply(params, tiles)
+            enh = unpatch(jnp.squeeze(pred, -1), ps, tiles_per_spec=k_tiles)
+            if was2d:
+                enh = enh[0]
+            return s, labels, enh
 
     def wrapped(params, trace):
         nb = trace.ndim - 1  # leading channel axis replicated
@@ -446,7 +486,39 @@ def make_sharded_enhance_shot(
         f = shard_map(
             fn, mesh=mesh, in_specs=(P(), tr_spec),
             out_specs=(o_spec, o_spec, o_spec),
+            # kernel path: pallas_call outputs carry no varying-mesh-axes
+            # info, so the vma checker can't track them (same caveat as
+            # the channel-sharded kernel serving in bench.harness)
+            check_vma=not kernel_on,
         )
         return f(params, trace)
 
-    return jax.jit(wrapped)
+    jf = jax.jit(wrapped)
+
+    if not kernel_on:
+
+        def fn_out(params, trace):
+            return jf(params, trace)
+
+        fn_out.prepare = lambda params: params
+        return fn_out
+
+    prepared = _prepared_types()
+    wts_cache = {}
+
+    def prepare(params):
+        if isinstance(params, prepared):
+            return params
+        return build_wts(params, model_cfg)
+
+    def fn_out(params, trace):
+        if isinstance(params, prepared):
+            return jf(params, trace)
+        hit = wts_cache.get(id(params))
+        if hit is None or hit[0] is not params:
+            wts_cache.clear()
+            wts_cache[id(params)] = (params, build_wts(params, model_cfg))
+        return jf(wts_cache[id(params)][1], trace)
+
+    fn_out.prepare = prepare
+    return fn_out
