@@ -211,14 +211,29 @@ def make_enhance_shot_fn(
         and _sf.supported(sp)
         and _aek.supports(model_cfg)
     )
-    if stft_mode not in ("auto", "fused", "xla"):
-        raise ValueError(f"stft_mode must be auto/fused/xla: {stft_mode}")
+    if stft_mode not in ("auto", "fused", "fused_ft", "xla"):
+        raise ValueError(
+            f"stft_mode must be auto/fused/fused_ft/xla: {stft_mode}"
+        )
     if stft_mode == "fused" and not fused_eligible:
         raise NotImplementedError(
             "stft_mode='fused' needs the depth-2 fused kernel serving in "
             f"bf16 with the reference STFT geometry: {model_cfg}, {sp}"
         )
+    # 'fused_ft': the split-basis STFT kernel with the (F, T) output
+    # produced by an IN-KERNEL transpose (round-5 — the Mosaic wall that
+    # retired it is gone, scripts/probe_mosaic_walls.py) feeding the
+    # standard corner-turn; only needs the kernel serving path + geometry
+    ft_eligible = (
+        kernel_on and dtype == jnp.bfloat16 and _sf.supported(sp)
+    )
+    if stft_mode == "fused_ft" and not ft_eligible:
+        raise NotImplementedError(
+            "stft_mode='fused_ft' needs kernel serving in bf16 with the "
+            f"reference STFT geometry: {model_cfg}, {sp}"
+        )
     fused_front = stft_mode == "fused"  # auto = xla (measured winner)
+    ft_front = stft_mode == "fused_ft"
 
     if kernel_on:
 
@@ -236,6 +251,14 @@ def make_enhance_shot_fn(
                     wts, x16, k_tiles, i_, interpret=interpret
                 )
                 return _sf.normalized_specs(a, mn, mx, nf), enhanced
+
+        elif ft_front:
+
+            def kernel_body(wts, traces):
+                specs = _sf.spectrogram_fused(traces, sp, interpret=interpret)
+                return specs, kernel_enhance_specs(
+                    wts, specs, k_tiles, interpret=interpret
+                )
 
         else:
 

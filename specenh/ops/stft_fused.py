@@ -64,8 +64,8 @@ from specenh.config import SpecParams
 from specenh.ops.ae_kernel import CS, CT, LANES
 from specenh.ops.parity_turn import _colsel, pick_interleave
 
-__all__ = ["supported", "stft_tf_log", "specs_tf_to_x16_2d",
-           "normalized_specs"]
+__all__ = ["supported", "stft_tf_log", "stft_ft_log", "spectrogram_fused",
+           "specs_tf_to_x16_2d", "normalized_specs"]
 
 FB = 256  # frames per STFT grid block (f32 sublane multiple)
 
@@ -109,7 +109,8 @@ def _basis_padded(sp: SpecParams, dtype):
 
 
 def _stft_tf_kernel(hb_ref, b0_ref, b1_ref, w_ref, out_ref, mm_ref,
-                    scratch, sem, *, eps, nblk, rows_pc, bf16, n_frames):
+                    scratch, sem, *, eps, nblk, rows_pc, bf16, n_frames,
+                    ft_out=False):
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
@@ -139,7 +140,15 @@ def _stft_tf_kernel(hb_ref, b0_ref, b1_ref, w_ref, out_ref, mm_ref,
                                 preferred_element_type=jnp.float32)
     psd = z[:, :384] * z[:, :384] + z[:, 384:] * z[:, 384:]
     out = jnp.log(psd * w_ref[...][:384] + eps)
-    out_ref[0] = out
+    if ft_out:
+        # in-kernel transpose: write the block in the NATURAL (F, T)
+        # contract directly.  This was the Mosaic wall that retired the
+        # round-3 kernel ("in-kernel z.T hangs the compiler",
+        # PERF_NOTES "Pallas split-basis STFT kernel") — the current
+        # toolchain compiles it (scripts/probe_mosaic_walls.py).
+        out_ref[0] = out.T
+    else:
+        out_ref[0] = out
     # min/max partials over the valid (row < n_frames - b*FB, lane <= 256)
     # region — the reference normalizes over the FULL one-sided spectrum
     # incl. Nyquist (the pre-drop quirk, ops/stft.py / pipeline_data.py:27)
@@ -206,6 +215,81 @@ def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
     mn = jnp.min(mm[:, :, 0, :], axis=(1, 2)).reshape(c, 1)
     mx = jnp.max(mm[:, :, 1, :], axis=(1, 2)).reshape(c, 1)
     return out, mn, mx, n_frames
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
+def stft_ft_log(traces, sp: SpecParams, bf16: bool = True,
+                interpret: bool = False):
+    """(C, >=n_samples) traces -> ((C, 384, Tpad) f32 log-PSD in the
+    NATURAL (F, T) layout, (C, 1) min, (C, 1) max, n_frames).
+
+    Same math as ``stft_tf_log`` with the (T,F)->(F,T) transpose done
+    IN-KERNEL per block (the transpose unit, overlapping the next
+    block's DMA+matmul) — no XLA transpose pass and no re-read.  Rows
+    0..256 are the one-sided freqs (incl. Nyquist); 257..383 are
+    padding; columns >= n_frames are padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not supported(sp):
+        raise NotImplementedError(f"fused STFT needs nperseg=512/hop=256: {sp}")
+    hop = sp.hop
+    n_frames = (sp.n_samples - sp.nperseg) // hop + 1
+    n_half = n_frames + 1
+    nblk = -(-n_frames // FB)
+    rows_pc = nblk * FB + 8
+    c = traces.shape[0]
+    hb = traces[:, :n_half * hop].reshape(c, n_half, hop)
+    hb = jnp.pad(hb, ((0, 0), (0, rows_pc - n_half), (0, 0)))
+    hb = hb.reshape(c * rows_pc, hop)
+    b0, b1, wpad = _basis_padded(sp, jnp.float32)
+    out, mm = pl.pallas_call(
+        functools.partial(_stft_tf_kernel, eps=float(sp.eps), nblk=nblk,
+                          rows_pc=rows_pc, bf16=bf16, n_frames=n_frames,
+                          ft_out=True),
+        grid=(c * nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
+            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
+            pl.BlockSpec((768,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 384, FB), lambda i: (i // nblk, 0, i % nblk)),
+            pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 384, nblk * FB), jnp.float32),
+            jax.ShapeDtypeStruct((c * nblk, 2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((FB + 8, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(hb, b0, b1, wpad)
+    mm = mm.reshape(c, nblk, 2, 128)
+    mn = jnp.min(mm[:, :, 0, :], axis=(1, 2)).reshape(c, 1)
+    mx = jnp.max(mm[:, :, 1, :], axis=(1, 2)).reshape(c, 1)
+    return out, mn, mx, n_frames
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
+def spectrogram_fused(traces, sp: SpecParams, bf16: bool = True,
+                      interpret: bool = False):
+    """Drop-in for ``ops.stft.spectrogram`` on (C, n) traces at the
+    reference geometry, on the split-basis Pallas kernel with the (F, T)
+    output produced in-kernel: truncate, log-PSD, per-channel min-max
+    over the full one-sided spectrum (pre-drop quirk), drop the Nyquist
+    row.  The trailing normalize+slice is a cheap fused XLA epilogue on
+    the already-(F,T) array — the re-read/transpose pass that retired
+    the round-3 integration no longer exists."""
+    out, mn, mx, _ = stft_ft_log(traces, sp, bf16, interpret)
+    # static frame count (the jitted inner call's return is traced)
+    n_frames = (sp.n_samples - sp.nperseg) // sp.hop + 1
+    v = out[:, : sp.n_freqs_kept, :n_frames]
+    mn = mn[:, :, None]
+    mx = mx[:, :, None]
+    return (v - mn) / (mx - mn)
 
 
 # ---------------------------------------------------------------------------
