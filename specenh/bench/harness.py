@@ -151,15 +151,16 @@ def make_enhance_shot_fn(
     cross-channel coupling — STFT min-max is per-channel — so no
     collectives are needed).
 
-    ``stft_mode``: with the depth-2 fused kernel serving in bf16, the
-    front-end can run as the fused (T,F)-layout Pallas STFT whose
-    corner-turn absorbs the transpose (ops.stft_fused).  In isolation it
-    wins (1.188 vs 1.450 ms traces->x16) but the FULL service measures
-    SLOWER with it (6.1-7.7 vs 5.7-5.9 ms/shot — the specs output
-    re-read plus a 4th serialized Pallas program lose the overlap XLA
-    gives the spectrogram stage), so "auto" keeps the XLA front-end;
-    "fused" opts in (raises if the geometry/dtype rules it out) — the
-    right choice only for x16-only consumers without the specs output.
+    ``stft_mode``: "auto" runs the split-basis Pallas STFT with the
+    (F,T) output produced by an IN-KERNEL transpose (``ops.stft_fused.
+    spectrogram_fused``) where eligible — measured 4-6% faster than the
+    XLA front in paired A/B (5.63 vs 5.90 ms/shot, SSIM-identical;
+    round 5 — the Mosaic wall that retired this kernel is gone).  "xla"
+    opts back to the XLA matmul front.  "fused" is the (T,F)-layout
+    variant whose corner-turn absorbs the transpose: it wins for
+    x16-only consumers (1.188 vs 1.450 ms traces->x16) but its specs
+    output costs a re-read, so it lost as the service default
+    (round-3 measurement) and stays opt-in.
 
     ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
     """
@@ -232,8 +233,13 @@ def make_enhance_shot_fn(
             "stft_mode='fused_ft' needs kernel serving in bf16 with the "
             f"reference STFT geometry: {model_cfg}, {sp}"
         )
-    fused_front = stft_mode == "fused"  # auto = xla (measured winner)
-    ft_front = stft_mode == "fused_ft"
+    # auto: the (F,T) split-basis kernel front where eligible — measured
+    # 4-6% faster than the XLA front in paired A/B on the v5e (5.63 vs
+    # 5.90 ms/shot, SSIM-identical; PERF_NOTES round 5), the round-3
+    # serialization penalty gone with the in-kernel transpose.  'xla'
+    # opts back out; 'fused' stays the x16-only (T,F) variant.
+    fused_front = stft_mode == "fused"
+    ft_front = stft_mode == "fused_ft" or (stft_mode == "auto" and ft_eligible)
 
     if kernel_on:
 
