@@ -239,7 +239,12 @@ def make_enhance_shot_fn(
     # serialization penalty gone with the in-kernel transpose.  'xla'
     # opts back out; 'fused' stays the x16-only (T,F) variant.
     fused_front = stft_mode == "fused"
-    ft_front = stft_mode == "fused_ft" or (stft_mode == "auto" and ft_eligible)
+    # (auto adopts it off-CPU only: CPU harnesses that FORCE the AE
+    # kernel with interpret=True keep the XLA front and its tolerances)
+    ft_front = stft_mode == "fused_ft" or (
+        stft_mode == "auto" and ft_eligible
+        and jax.default_backend() not in ("cpu",)
+    )
 
     if kernel_on:
 
