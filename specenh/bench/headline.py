@@ -273,6 +273,42 @@ def measure_deep3_serving(n_channels: int = 20) -> dict:
     return {"serve3_ms_per_shot": round(sec * 1e3, 2)}
 
 
+def measure_longshot() -> dict:
+    """Composed long-shot service (time-sharded STFT -> pipeline ->
+    conv-AE -> restitch in ONE shard_map) on the fused-kernel AE stage
+    (round 5): ms for a 4-second shot (2x the reference's cut) on a
+    1-device 'time' mesh — regression-guards the long-context path the
+    same way the flagship guards channel serving.  Measured 1.36 ms vs
+    5.18 ms for the Flax composed program (3.80x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from specenh.bench.harness import time_fn
+    from specenh.config import ModelConfig, SpecParams
+    from specenh.models.autoencoder import make_model
+    from specenh.parallel.mesh import make_mesh
+    from specenh.parallel.timeshard import (
+        make_sharded_enhance_shot,
+        usable_samples_tiled,
+    )
+
+    cfg = ModelConfig()
+    mesh = make_mesh(1, ("time",))
+    sp_full = SpecParams(cut_shot=4.0)
+    t_use = usable_samples_tiled(sp_full.n_samples, 1, sp_full)
+    sp = SpecParams(cut_shot=t_use / sp_full.fs)
+    params = make_model(cfg).init(
+        jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32)
+    )
+    rng = np.random.default_rng(0)
+    trace = jax.device_put(rng.standard_normal(t_use).astype(np.float32))
+    fn = make_sharded_enhance_shot(cfg, sp, mesh)  # auto: kernel off-CPU
+    sec = time_fn(fn, fn.prepare(params), trace, iters=12, warmup=2)
+    print(f"# composed long-shot (4 s, kernel AE stage): {sec * 1e3:.2f} ms",
+          file=sys.stderr)
+    return {"longshot4s_ms": round(sec * 1e3, 2)}
+
+
 def measure_stream_host(n_shots: int = 6, chunk_tiles: int = 4096) -> dict:
     """HOST side of the streamed-campaign pipeline (the round-3 verdict's
     flagship gap): HDF5 read + tile assembly throughput for one epoch of
@@ -424,6 +460,7 @@ def main(trace_dir: str | None = None):
     rec.update(measure_train())
     rec.update(measure_svd())
     rec.update(measure_deep3_serving())
+    rec.update(measure_longshot())
     rec.update(measure_stream_host())
     print(json.dumps(rec))
 
