@@ -21,16 +21,21 @@ Measured on the v5e (20-channel reference shot, slope-timed):
   (the serving contract persists specs, serve.py writer): 1.395 ms
   (-4%) — the specs output forces one full re-read + transposed write,
   which is the bandwidth floor of that contract.
-* BUT the FULL service measures SLOWER with it: 6.1-7.7 ms/shot vs
-  5.7-5.9 for the XLA front-end (two runs, same chip, numerics
-  identical to 1e-4).  The isolated stage wins do not compose: the
-  service already runs three dependent Pallas programs, and swapping
-  the XLA spectrogram (which the scheduler overlaps across region
-  boundaries — PERF_NOTES stage-sum 6.2 vs 5.6 measured) for a fourth
-  serialized Pallas call plus the specs re-read loses more than the
-  front-end saves.  The harness therefore keeps stft_mode="auto" on
-  the XLA front-end; "fused" is the right opt-in ONLY for x16-only
-  consumers that skip the specs output (measured -18% there).
+* BUT the FULL service measured SLOWER with the (T,F) variant:
+  6.1-7.7 ms/shot vs 5.7-5.9 for the XLA front-end — the specs output
+  re-read plus a fourth serialized Pallas call lost the overlap XLA
+  gives the spectrogram stage.  "fused" therefore stays an opt-in for
+  x16-only consumers that skip the specs output (measured -18% there).
+
+ROUND 5: the Mosaic wall that forced the (T,F) layout is GONE — the
+current toolchain compiles in-kernel transposes and offset-1 sublane
+slices (scripts/probe_mosaic_walls.py).  ``stft_ft_log`` writes each
+block in the NATURAL (F,T) contract via an in-kernel ``out.T``, and
+``spectrogram_fused`` is a drop-in for ``ops.stft.spectrogram`` whose
+normalize+slice is a cheap fused XLA epilogue.  The specs re-read no
+longer exists, and the full service measures FASTER: paired A/B on the
+v5e, 5.63 vs 5.90 ms/shot (4-6%, SSIM-identical).  The harness's
+stft_mode="auto" now uses it off-CPU (PERF_NOTES "Round 5").
 
 Kernel facts the design leans on (see PERF_NOTES.md):
 
