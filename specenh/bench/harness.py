@@ -265,6 +265,10 @@ def make_enhance_shot_fn(
 
         elif ft_front:
 
+            # (a norm-fused variant that feeds the x16 turn from the RAW
+            # (F,T) log-PSD — specs_ft_to_x16_2d — measured DEAD EVEN
+            # with this simple form: XLA already overlaps the epilogue
+            # and the turn; see PERF_NOTES round 5)
             def kernel_body(wts, traces):
                 specs = _sf.spectrogram_fused(traces, sp, interpret=interpret)
                 return specs, kernel_enhance_specs(

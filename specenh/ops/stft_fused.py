@@ -66,7 +66,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from specenh.config import SpecParams
-from specenh.ops.ae_kernel import CS, CT, LANES
+from specenh.ops.ae_kernel import CS, CT, LANES, _mm
 from specenh.ops.parity_turn import _colsel, pick_interleave
 
 __all__ = ["supported", "stft_tf_log", "stft_ft_log", "spectrogram_fused",
@@ -356,6 +356,60 @@ def specs_tf_to_x16_2d(sxx_tf, mn, mx, k_tiles: int, interleave: int = 0,
                                        jnp.bfloat16),
         interpret=interpret,
     )(mn, mx, sxx_tf)
+
+
+def _make_turn_ft_norm_kernel(i_: int, gpc: int):
+    def kernel(mn_ref, mx_ref, s_ref, o_ref):
+        ci = pl.program_id(0) // gpc
+        mn = mn_ref[ci, 0]
+        nat = ((s_ref[0] - mn) / (mx_ref[ci, 0] - mn)).astype(jnp.bfloat16)
+        sel = [
+            _mm(nat, _colsel(xi, i_)).astype(jnp.bfloat16) for xi in range(4)
+        ]  # (256, I*32) each; rows stay natural 4s+phi (s-major)
+        pieces = [
+            jnp.concatenate(
+                [sel[xi][4 * s:4 * (s + 1), :] for xi in range(4)], axis=0
+            )  # (16, I*32), rows xi*4 + phi
+            for s in range(CS)
+        ]
+        o_ref[...] = jnp.concatenate(pieces, axis=1)  # (16, I*2048)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k_tiles", "interleave",
+                                             "interpret"))
+def specs_ft_to_x16_2d(sxx_ft, mn, mx, k_tiles: int, interleave: int = 0,
+                       interpret: bool = False):
+    """(C, >=256, Tpad >= k*128) RAW (F,T) log-PSD (``stft_ft_log``'s
+    first output) + per-channel (C,1) min/max -> (16, C*k*2048)
+    normalized bf16 parity rows — ``parity_turn.specs_to_x16_2d`` of the
+    normalized spectrogram, with the min-max normalization fused into
+    the turn.  The x16 path then never reads the materialized
+    normalized specs, so the specs epilogue and the turn sit on
+    INDEPENDENT dependency chains (round-5; the turn reads 256 of the
+    384 padded freq rows directly)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = sxx_ft.shape[0]
+    i_ = interleave or pick_interleave(k_tiles)
+    if k_tiles % i_:
+        raise ValueError(f"interleave {i_} must divide k_tiles {k_tiles}")
+    gpc = k_tiles // i_
+    return pl.pallas_call(
+        _make_turn_ft_norm_kernel(i_, gpc),
+        grid=(c * gpc,),
+        in_specs=[
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4 * CS, i_ * 4 * CT),
+                         lambda i, gpc=gpc: (i // gpc, 0, i % gpc)),
+        ],
+        out_specs=pl.BlockSpec((16, i_ * LANES), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, c * k_tiles * LANES),
+                                       jnp.bfloat16),
+        interpret=interpret,
+    )(mn, mx, sxx_ft)
 
 
 def normalized_specs(sxx_tf, mn, mx, n_frames: int):

@@ -186,3 +186,23 @@ def test_service_fused_ft_matches_xla_front(traces):
         assert ssim(np.asarray(s2[c]), np.asarray(s1[c])) > 0.995
     d = np.abs(np.asarray(e2) - np.asarray(e1))
     assert d.max() < 0.1 and d.mean() < 5e-3, (d.max(), d.mean())
+
+
+def test_norm_fused_ft_turn_exact(traces, fused):
+    """specs_ft_to_x16_2d (normalize fused into the (F,T) turn) is
+    BIT-exact vs parity_turn.specs_to_x16_2d of the normalized specs.
+    Measured dead even with the epilogue+turn form in the full service
+    (PERF_NOTES round 5) — kept as the exact building block for
+    x16-only consumers of stft_ft_log."""
+    from specenh.ops.stft_fused import (
+        spectrogram_fused,
+        specs_ft_to_x16_2d,
+        stft_ft_log,
+    )
+
+    out, mn, mx, _ = stft_ft_log(traces, SP, bf16=False, interpret=True)
+    k = SP.n_frames // 128
+    got = specs_ft_to_x16_2d(out, mn, mx, k, interpret=True)
+    specs = spectrogram_fused(traces, SP, bf16=False, interpret=True)
+    want = specs_to_x16_2d(specs, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
