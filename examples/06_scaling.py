@@ -84,9 +84,28 @@ def main():
         cfg, serve_sp, mesh=smesh, use_kernel=True,
         interpret=jax.default_backend() == "cpu",
     )
+    # resident services pre-scatter the kernel weights ONCE (round 5):
+    # fn.prepare returns a device handle that replaces the Flax params
+    handle = fn.prepare(params)
     traces = jnp.asarray(example_shot(serve_sp, n_channels=2 * n_dev))
-    specs, enhanced = fn(params, traces)
+    specs, enhanced = fn(handle, traces)
     print("channel-sharded kernel serving:", traces.shape, "->", enhanced.shape)
+
+    # --- composed long shot END-TO-END (STFT -> pipeline -> conv-AE ->
+    # restitch in ONE shard_map), the AE stage on the fused serving
+    # kernel (use_kernel='auto' routes there off-CPU; 3.80x measured) ---
+    from specenh.parallel.timeshard import (
+        make_sharded_enhance_shot,
+        usable_samples_tiled,
+    )
+
+    t_tiled = usable_samples_tiled(sp.n_samples, n_dev, sp)
+    lsp = SpecParams(cut_shot=t_tiled / sp.fs)
+    composed = make_sharded_enhance_shot(cfg, lsp, tmesh)  # auto: kernel off-CPU
+    cspec, clabels, cenh = composed(
+        composed.prepare(params), trace[:t_tiled]
+    )
+    print("composed long-shot (kernel AE stage):", cenh.shape)
 
 
 if __name__ == "__main__":
