@@ -206,3 +206,18 @@ def test_norm_fused_ft_turn_exact(traces, fused):
     specs = spectrogram_fused(traces, SP, bf16=False, interpret=True)
     want = specs_to_x16_2d(specs, k, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ft_kernel_edge_shapes():
+    """Single channel + single grid block (n_frames < FB): the padded
+    rows/lanes never leak into the output slice or the min/max."""
+    from specenh.ops.stft_fused import spectrogram_fused
+
+    sp = SpecParams(cut_shot=0.1)  # 194 frames -> one partial block
+    rng = np.random.default_rng(5)
+    tr = jnp.asarray(rng.standard_normal((1, sp.n_samples)), jnp.float32)
+    gold = np.asarray(spectrogram(tr, sp))
+    got = np.asarray(spectrogram_fused(tr, sp, bf16=False, interpret=True))
+    assert got.shape == gold.shape == (1, 256, sp.n_frames)
+    np.testing.assert_allclose(got, gold, atol=2e-4)
+    assert got.min() >= 0.0 and got.max() <= 1.0
