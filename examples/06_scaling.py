@@ -100,8 +100,8 @@ def main():
     )
 
     t_tiled = usable_samples_tiled(sp.n_samples, n_dev, sp)
-    lsp = SpecParams(cut_shot=t_tiled / sp.fs)
-    composed = make_sharded_enhance_shot(cfg, lsp, tmesh)  # auto: kernel off-CPU
+    # n_samples override (a cut_shot=t/fs round-trip can lose a sample)
+    composed = make_sharded_enhance_shot(cfg, sp, tmesh, n_samples=t_tiled)
     cspec, clabels, cenh = composed(
         composed.prepare(params), trace[:t_tiled]
     )

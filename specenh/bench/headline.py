@@ -294,15 +294,17 @@ def measure_longshot() -> dict:
 
     cfg = ModelConfig()
     mesh = make_mesh(1, ("time",))
-    sp_full = SpecParams(cut_shot=4.0)
-    t_use = usable_samples_tiled(sp_full.n_samples, 1, sp_full)
-    sp = SpecParams(cut_shot=t_use / sp_full.fs)
+    sp = SpecParams(cut_shot=4.0)
+    # n_samples override, NOT SpecParams(cut_shot=t_use/fs): the
+    # int(cut_shot*fs) round-trip can lose one sample for some lengths
+    # (round-5 review finding), breaking the divisibility validation
+    t_use = usable_samples_tiled(sp.n_samples, 1, sp)
     params = make_model(cfg).init(
         jax.random.PRNGKey(0), np.zeros((1, *cfg.input_shape), np.float32)
     )
     rng = np.random.default_rng(0)
     trace = jax.device_put(rng.standard_normal(t_use).astype(np.float32))
-    fn = make_sharded_enhance_shot(cfg, sp, mesh)  # auto: kernel off-CPU
+    fn = make_sharded_enhance_shot(cfg, sp, mesh, n_samples=t_use)  # auto: kernel off-CPU
     # iters=48: at ~1.4 ms/call, 12 iters left a ±15% band (round-5
     # three-run measurement) — the slope needs a longer chain here
     sec = time_fn(fn, fn.prepare(params), trace, iters=48, warmup=2)

@@ -393,21 +393,25 @@ def cmd_train(args):
 
     for j, i in enumerate(chns):
         if bench_reader is not None:
-            xt, yt = bench_reader.read(int(bench_offs[j]),
-                                       int(bench_offs[j + 1]))
-            tiles = np.asarray(xt, np.float32)
-            pipe_tiles = np.asarray(yt, np.float32)[..., 0]
+            tiles = np.asarray(
+                bench_reader.read_x(int(bench_offs[j]),
+                                    int(bench_offs[j + 1])), np.float32)
         else:
             d = store.read_channel(shot_key, i)
             tiles = np.asarray(patch(jnp.asarray(d["spec"][None])))[..., None]
-            pipe_tiles = None  # patched lazily in the plot branch
         start = time.time()
         p = prod_predict(prod_params, jnp.asarray(tiles))
         np.asarray(p.ravel()[:1])  # sync (tunnelled TPU: block_until_ready lies)
         t_predict += time.time() - start
         p = jnp.asarray(p, jnp.float32)  # bf16-path outputs -> plottable
         if i in (10, 11, 12):
-            if pipe_tiles is None:
+            # label tiles read lazily: only these 3 channels plot them
+            if bench_reader is not None:
+                pipe_tiles = np.asarray(
+                    bench_reader.read_y(int(bench_offs[j]),
+                                        int(bench_offs[j + 1])),
+                    np.float32)[..., 0]
+            else:
                 pipe_tiles = np.asarray(patch(jnp.asarray(d["pipeline_out"][None])))
             ax = store.read_axes(shot_key, i)
             plt_spec_shot(

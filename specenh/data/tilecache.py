@@ -60,8 +60,11 @@ def store_identity(store) -> str:
     path = getattr(store, "path", None)
     if not path or not os.path.exists(path):
         return str(path)
+    # glob.escape: a store path containing [, ], ? or * must not be
+    # treated as a pattern, or shard sidecars silently drop out of the
+    # identity (and a shard rewrite would not invalidate the cache)
     shards = sorted(
-        (p for p in glob.glob(path + ".shard*")
+        (p for p in glob.glob(glob.escape(path) + ".shard*")
          if p[len(path) + 6:].isdigit()),
         key=lambda p: int(p[len(path) + 6:]),
     )
@@ -126,8 +129,15 @@ class TileCacheReader:
     def read(self, lo: int, hi: int) -> Tuple[np.ndarray, np.ndarray]:
         """Tiles [lo, hi) as materialized (k, F, W, 1) arrays in the
         stored dtype (one contiguous copy each)."""
-        return (np.asarray(self._x[lo:hi])[..., None],
-                np.asarray(self._y[lo:hi])[..., None])
+        return self.read_x(lo, hi), self.read_y(lo, hi)
+
+    def read_x(self, lo: int, hi: int) -> np.ndarray:
+        """Just the spec tiles (consumers that never touch the labels —
+        the CLI bench loop — skip the label copy)."""
+        return np.asarray(self._x[lo:hi])[..., None]
+
+    def read_y(self, lo: int, hi: int) -> np.ndarray:
+        return np.asarray(self._y[lo:hi])[..., None]
 
 
 def build_tile_cache(

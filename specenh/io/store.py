@@ -120,7 +120,7 @@ class SpectrogramStore:
         if mode == "r":
             # writer-pool sidecars, shard index order (shard1, shard2, …)
             sidecars = sorted(
-                (p for p in glob.glob(path + ".shard*")
+                (p for p in glob.glob(glob.escape(path) + ".shard*")
                  if p[len(path) + 6:].isdigit()),
                 key=lambda p: int(p[len(path) + 6:]),
             )

@@ -169,15 +169,10 @@ def _stft_tf_kernel(hb_ref, b0_ref, b1_ref, w_ref, out_ref, mm_ref,
     ])
 
 
-@functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
-def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
-                interpret: bool = False):
-    """(C, >=n_samples) traces -> ((C, Tpad, 384) f32 log-PSD in (T, F)
-    layout, (C, 1) min, (C, 1) max, n_frames).  Lanes 0..256 are the
-    one-sided freqs (incl. Nyquist); 257..383 hold log(eps) (weight 0).
-    min/max are over the valid (frame, freq <= Nyquist) region — the
-    reference's pre-drop normalization domain.  Tpad = ceil(nf/FB)*FB;
-    rows >= n_frames are padding."""
+def _stft_log(traces, sp: SpecParams, bf16: bool, interpret: bool,
+              ft_out: bool):
+    """Shared wrapper for both output layouts — only the first output's
+    BlockSpec/shape differ (in-kernel ``out.T`` when ``ft_out``)."""
     from jax.experimental.pallas import tpu as pltpu
 
     if not supported(sp):
@@ -192,9 +187,18 @@ def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
     hb = jnp.pad(hb, ((0, 0), (0, rows_pc - n_half), (0, 0)))
     hb = hb.reshape(c * rows_pc, hop)
     b0, b1, wpad = _basis_padded(sp, jnp.float32)
+    if ft_out:
+        out_spec = pl.BlockSpec((1, 384, FB),
+                                lambda i: (i // nblk, 0, i % nblk))
+        out_shape = jax.ShapeDtypeStruct((c, 384, nblk * FB), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, FB, 384),
+                                lambda i: (i // nblk, i % nblk, 0))
+        out_shape = jax.ShapeDtypeStruct((c, nblk * FB, 384), jnp.float32)
     out, mm = pl.pallas_call(
         functools.partial(_stft_tf_kernel, eps=float(sp.eps), nblk=nblk,
-                          rows_pc=rows_pc, bf16=bf16, n_frames=n_frames),
+                          rows_pc=rows_pc, bf16=bf16, n_frames=n_frames,
+                          ft_out=ft_out),
         grid=(c * nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -203,11 +207,11 @@ def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
             pl.BlockSpec((768,), lambda i: (0,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, FB, 384), lambda i: (i // nblk, i % nblk, 0)),
+            out_spec,
             pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, nblk * FB, 384), jnp.float32),
+            out_shape,
             jax.ShapeDtypeStruct((c * nblk, 2, 128), jnp.float32),
         ],
         scratch_shapes=[
@@ -220,6 +224,18 @@ def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
     mn = jnp.min(mm[:, :, 0, :], axis=(1, 2)).reshape(c, 1)
     mx = jnp.max(mm[:, :, 1, :], axis=(1, 2)).reshape(c, 1)
     return out, mn, mx, n_frames
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
+def stft_tf_log(traces, sp: SpecParams, bf16: bool = True,
+                interpret: bool = False):
+    """(C, >=n_samples) traces -> ((C, Tpad, 384) f32 log-PSD in (T, F)
+    layout, (C, 1) min, (C, 1) max, n_frames).  Lanes 0..256 are the
+    one-sided freqs (incl. Nyquist); 257..383 hold log(eps) (weight 0).
+    min/max are over the valid (frame, freq <= Nyquist) region — the
+    reference's pre-drop normalization domain.  Tpad = ceil(nf/FB)*FB;
+    rows >= n_frames are padding."""
+    return _stft_log(traces, sp, bf16, interpret, ft_out=False)
 
 
 @functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))
@@ -233,49 +249,7 @@ def stft_ft_log(traces, sp: SpecParams, bf16: bool = True,
     block's DMA+matmul) — no XLA transpose pass and no re-read.  Rows
     0..256 are the one-sided freqs (incl. Nyquist); 257..383 are
     padding; columns >= n_frames are padding."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    if not supported(sp):
-        raise NotImplementedError(f"fused STFT needs nperseg=512/hop=256: {sp}")
-    hop = sp.hop
-    n_frames = (sp.n_samples - sp.nperseg) // hop + 1
-    n_half = n_frames + 1
-    nblk = -(-n_frames // FB)
-    rows_pc = nblk * FB + 8
-    c = traces.shape[0]
-    hb = traces[:, :n_half * hop].reshape(c, n_half, hop)
-    hb = jnp.pad(hb, ((0, 0), (0, rows_pc - n_half), (0, 0)))
-    hb = hb.reshape(c * rows_pc, hop)
-    b0, b1, wpad = _basis_padded(sp, jnp.float32)
-    out, mm = pl.pallas_call(
-        functools.partial(_stft_tf_kernel, eps=float(sp.eps), nblk=nblk,
-                          rows_pc=rows_pc, bf16=bf16, n_frames=n_frames,
-                          ft_out=True),
-        grid=(c * nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
-            pl.BlockSpec((hop, 768), lambda i: (0, 0)),
-            pl.BlockSpec((768,), lambda i: (0,)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 384, FB), lambda i: (i // nblk, 0, i % nblk)),
-            pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, 384, nblk * FB), jnp.float32),
-            jax.ShapeDtypeStruct((c * nblk, 2, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((FB + 8, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(hb, b0, b1, wpad)
-    mm = mm.reshape(c, nblk, 2, 128)
-    mn = jnp.min(mm[:, :, 0, :], axis=(1, 2)).reshape(c, 1)
-    mx = jnp.max(mm[:, :, 1, :], axis=(1, 2)).reshape(c, 1)
-    return out, mn, mx, n_frames
+    return _stft_log(traces, sp, bf16, interpret, ft_out=True)
 
 
 @functools.partial(jax.jit, static_argnames=("sp", "bf16", "interpret"))

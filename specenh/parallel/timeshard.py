@@ -434,7 +434,7 @@ def make_sharded_enhance_shot(
         )
     k_tiles = k // ps.tile_time
 
-    from specenh.bench.harness import _kernel_family, _prepared_types
+    from specenh.bench.harness import _kernel_family, _with_prepared_weights
 
     build_wts, _, kernel_enhance_specs = _kernel_family(model_cfg)
     if use_kernel is True and build_wts is None:
@@ -503,22 +503,4 @@ def make_sharded_enhance_shot(
         fn_out.prepare = lambda params: params
         return fn_out
 
-    prepared = _prepared_types()
-    wts_cache = {}
-
-    def prepare(params):
-        if isinstance(params, prepared):
-            return params
-        return build_wts(params, model_cfg)
-
-    def fn_out(params, trace):
-        if isinstance(params, prepared):
-            return jf(params, trace)
-        hit = wts_cache.get(id(params))
-        if hit is None or hit[0] is not params:
-            wts_cache.clear()
-            wts_cache[id(params)] = (params, build_wts(params, model_cfg))
-        return jf(wts_cache[id(params)][1], trace)
-
-    fn_out.prepare = prepare
-    return fn_out
+    return _with_prepared_weights(jf, build_wts, model_cfg)

@@ -309,6 +309,12 @@ def sweep_fit(
     ``resume=True`` continues from the latest epoch with the shuffle stream
     replayed, so the final trajectory is identical to an uninterrupted run.
     """
+    if x_val is None or len(x_val) == 0:
+        raise ValueError(
+            "sweep requires a non-empty tune split (x_val/y_val): final "
+            "val_loss drives model selection (manual_scan.py:216-224); "
+            "sample more shots or adjust split fractions"
+        )
     epochs = train_cfg.epochs if epochs is None else epochs
     n_real = len(configs)
     if mesh is not None:

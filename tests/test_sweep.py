@@ -478,6 +478,10 @@ def test_sweep_serial_requires_tune_split(tmp_path):
                          np.zeros((0, *SMALL), np.float32), TrainConfig())
     with pytest.raises(ValueError, match="non-empty tune split"):
         sweep_fit_serial(cfgs, x, y, None, None, TrainConfig())
+    # the default (envelope) engine refuses too, not an IndexError/NaN
+    with pytest.raises(ValueError, match="non-empty tune split"):
+        sweep_fit(cfgs, x, y, np.zeros((0, *SMALL), np.float32),
+                  np.zeros((0, *SMALL), np.float32), TrainConfig())
 
     ps = PatchSpec(tile_freq=32, tile_time=16, step=16, tiles_per_spec=5)
     store = SpectrogramStore(str(tmp_path / "s.hdf5"))
